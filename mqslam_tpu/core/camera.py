@@ -14,6 +14,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from mqslam_tpu.core import smallmat
+
 __all__ = [
     "Cal3DS2", "K_from_cal", "cal_from_K_dist",
     "normalize_points", "denormalize_points",
@@ -64,11 +66,6 @@ def cal_from_K_dist(K, dist=None):
     k1, k2, p1, p2 = dist[..., 0], dist[..., 1], dist[..., 2], dist[..., 3]
     return Cal3DS2(K[..., 0, 0], K[..., 1, 1], K[..., 0, 1],
                    K[..., 0, 2], K[..., 1, 2], k1, k2, p1, p2)
-
-
-def _bc(v, x):
-    """Broadcast a calibration scalar against point array x[..., 2]."""
-    return jnp.asarray(v, dtype=x.dtype)[..., None] if jnp.ndim(v) else v
 
 
 def normalize_points(uv, cal: Cal3DS2):
@@ -127,7 +124,7 @@ def undistort_points(uv, cal: Cal3DS2, iters: int = 8):
 
 def project_normalized(points, P):
     """World points [..., 3] through extrinsic P -> (normalized xy, depth)."""
-    pc = (P[..., :3, :3] @ points[..., :, None])[..., 0] + P[..., :3, 3]
+    pc = smallmat.matvec_small(P[..., :3, :3], points) + P[..., :3, 3]
     z = pc[..., 2]
     zs = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
     return pc[..., :2] / zs[..., None], z

@@ -10,6 +10,7 @@ and camera-to-world quaternion, i.e. the *inverse* of P.
 import jax.numpy as jnp
 
 from mqslam_tpu.core import quat as _quat, so3 as _so3
+from mqslam_tpu.core.smallmat import matmul_small, matvec_small
 
 __all__ = [
     "identity", "from_R_t", "from_rvec_tvec", "to_rvec_tvec", "inv",
@@ -51,12 +52,12 @@ def inv(P):
     R = P[..., :3, :3]
     t = P[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return from_R_t(Rt, -(Rt @ t[..., None])[..., 0])
+    return from_R_t(Rt, -matvec_small(Rt, t))
 
 
 def compose(P2, P1):
-    """P2 after P1 (matrix product)."""
-    return P2 @ P1
+    """P2 after P1 (matrix product, full f32 precision on TPU)."""
+    return matmul_small(P2, P1)
 
 
 def delta(P1, P2):
@@ -64,12 +65,12 @@ def delta(P1, P2):
 
     transforms.py:184-197 (delta_P) — the odometry factor measurement.
     """
-    return P2 @ inv(P1)
+    return matmul_small(P2, inv(P1))
 
 
 def apply(P, pts):
     """Apply P to 3D point(s) [..., 3]."""
-    return (P[..., :3, :3] @ pts[..., :, None])[..., 0] + P[..., :3, 3]
+    return matvec_small(P[..., :3, :3], pts) + P[..., :3, 3]
 
 
 def from_pose_tum(q, center):
@@ -80,7 +81,7 @@ def from_pose_tum(q, center):
     """
     Rcw = _quat.to_matrix(_quat.normalize(q))  # cam-to-world
     R = jnp.swapaxes(Rcw, -1, -2)
-    t = -(R @ center[..., :, None])[..., 0]
+    t = -matvec_small(R, center)
     return from_R_t(R, t)
 
 

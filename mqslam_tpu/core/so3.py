@@ -7,6 +7,7 @@ Replaces the reference's calls into ``cv2.Rodrigues``
 import jax.numpy as jnp
 
 from mqslam_tpu.core import quat as _quat
+from mqslam_tpu.core.smallmat import matmul_small
 
 __all__ = ["hat", "exp", "log", "rvec_from_matrix", "matrix_from_rvec",
            "delta_rvec"]
@@ -36,7 +37,7 @@ def exp(rvec):
                   (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS))
     K = hat(rvec)
     I = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    return I + a[..., None, None] * K + b[..., None, None] * (K @ K)
+    return I + a[..., None, None] * K + b[..., None, None] * matmul_small(K, K)
 
 
 def log(R):

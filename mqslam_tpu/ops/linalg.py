@@ -1,0 +1,142 @@
+"""Tiny closed-form linear algebra, batched elementwise (VPU-friendly).
+
+Per-point 2x2/3x3/4x4 solves are expressed with cofactor formulas instead of
+``jnp.linalg`` calls: thousands of independent tiny systems map onto the TPU's
+vector lanes as pure elementwise arithmetic, with no batched-LAPACK loops and
+no MXU round-trips. All routines broadcast over leading batch dims.
+"""
+
+import jax.numpy as jnp
+
+from mqslam_tpu.core.smallmat import (  # noqa: F401  (re-exported)
+    gram, gram_rhs, matmul_small, matvec_small,
+)
+
+__all__ = [
+    "gram", "gram_rhs", "matmul_small", "matvec_small",
+    "solve2x2_sym", "solve3x3_sym", "solve3x3", "inv3x3",
+    "eigh4x4_smallest", "eigh_jacobi", "svdvals3x3",
+]
+
+
+def solve2x2_sym(a00, a01, a11, b0, b1, eps=1e-30):
+    """Solve the symmetric 2x2 system [[a00,a01],[a01,a11]] x = b."""
+    det = a00 * a11 - a01 * a01
+    det = jnp.where(jnp.abs(det) > eps, det, jnp.where(det >= 0, eps, -eps))
+    x0 = (a11 * b0 - a01 * b1) / det
+    x1 = (a00 * b1 - a01 * b0) / det
+    return x0, x1
+
+
+def solve3x3_sym(N, rhs, eps=1e-30):
+    """Solve symmetric 3x3 systems N @ x = rhs by the adjugate formula.
+
+    N: [..., 3, 3] (assumed symmetric), rhs: [..., 3]. Near-singular systems
+    get a clamped determinant (large-but-finite solutions, caller filters via
+    status flags — matching the pseudo-inverse behavior of well-posed calls).
+    """
+    a, b, c = N[..., 0, 0], N[..., 0, 1], N[..., 0, 2]
+    d, e, f = N[..., 1, 1], N[..., 1, 2], N[..., 2, 2]
+    # cofactors of the symmetric matrix [[a,b,c],[b,d,e],[c,e,f]]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) > eps, det, jnp.where(det >= 0, eps, -eps))
+    r0, r1, r2 = rhs[..., 0], rhs[..., 1], rhs[..., 2]
+    x0 = (A * r0 + B * r1 + C * r2) / det
+    x1 = (B * r0 + D * r1 + E * r2) / det
+    x2 = (C * r0 + E * r1 + F * r2) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def inv3x3(M, eps=1e-30):
+    """Inverse of general 3x3 matrices [..., 3, 3] via the adjugate."""
+    m = M
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02)
+    det = jnp.where(jnp.abs(det) > eps, det, jnp.where(det >= 0, eps, -eps))
+    adjT = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return adjT / det[..., None, None]
+
+
+def solve3x3(M, rhs, eps=1e-30):
+    """Solve general 3x3 systems M @ x = rhs (Cramer via adjugate)."""
+    return matvec_small(inv3x3(M, eps), rhs)
+
+
+def eigh_jacobi(S, sweeps: int = 8):
+    """Eigendecomposition of small symmetric matrices by cyclic Jacobi.
+
+    S: [..., n, n] symmetric, n small & static (4 for DLT, 9 for homography
+    fitting). Returns (eigenvalues [..., n] ascending, eigenvectors [..., n, n]
+    with columns as vectors). Fixed sweep count keeps it jit-friendly; ``n=4``
+    converges to f32 precision in <=6 sweeps. Runs fully batched — every
+    rotation is an elementwise update over the batch, no LAPACK loop.
+    """
+    n = S.shape[-1]
+    A = S
+    V = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)
+    # Static cyclic order of off-diagonal pivots.
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+    for _ in range(sweeps):
+        for (p, q) in pairs:
+            app = A[..., p, p]
+            aqq = A[..., q, q]
+            apq = A[..., p, q]
+            # Stable Jacobi rotation angle
+            tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(apq == 0, 0.0, t)
+            c = (1.0 / jnp.sqrt(1.0 + t * t))[..., None]
+            s = (t[..., None]) * c
+            # Apply rotation G(p,q,theta) on both sides: A <- G^T A G
+            rows_p = A[..., p, :]
+            rows_q = A[..., q, :]
+            A = A.at[..., p, :].set(c * rows_p - s * rows_q)
+            A = A.at[..., q, :].set(s * rows_p + c * rows_q)
+            cols_p = A[..., :, p]
+            cols_q = A[..., :, q]
+            A = A.at[..., :, p].set(c * cols_p - s * cols_q)
+            A = A.at[..., :, q].set(s * cols_p + c * cols_q)
+            vp = V[..., :, p]
+            vq = V[..., :, q]
+            V = V.at[..., :, p].set(c * vp - s * vq)
+            V = V.at[..., :, q].set(s * vp + c * vq)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+def eigh4x4_smallest(S, sweeps: int = 8):
+    """Unit eigenvector of the smallest eigenvalue of symmetric 4x4 systems.
+
+    The DLT null-space extractor: argmin_{|x|=1} x^T S x.
+    """
+    w, V = eigh_jacobi(S, sweeps=sweeps)
+    return V[..., :, 0]
+
+
+def svdvals3x3(M, sweeps: int = 10):
+    """Singular values (descending) of 3x3 matrices via eigh of M^T M."""
+    MtM = gram(M)
+    w, _ = eigh_jacobi(MtM, sweeps=sweeps)
+    w = jnp.maximum(w, 0.0)
+    return jnp.sqrt(w[..., ::-1])
