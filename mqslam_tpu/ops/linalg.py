@@ -14,7 +14,7 @@ from mqslam_tpu.core.smallmat import (  # noqa: F401  (re-exported)
 
 __all__ = [
     "gram", "gram_rhs", "matmul_small", "matvec_small",
-    "solve2x2_sym", "solve3x3_sym", "solve3x3", "inv3x3",
+    "solve2x2_sym", "solve3x3_sym", "solve3x3", "inv3x3", "pinv_solve_sym",
     "eigh4x4_smallest", "eigh_jacobi", "svdvals3x3",
 ]
 
@@ -78,6 +78,24 @@ def inv3x3(M, eps=1e-30):
 def solve3x3(M, rhs, eps=1e-30):
     """Solve general 3x3 systems M @ x = rhs (Cramer via adjugate)."""
     return matvec_small(inv3x3(M, eps), rhs)
+
+
+def pinv_solve_sym(N, rhs, sweeps: int = 6, rcond: float = None):
+    """Min-norm least-squares solve of symmetric systems via eigen-pseudo-
+    inverse: x = V diag(1/w | w>rcond*wmax else 0) V^T rhs.
+
+    Matches cv2.solve(..., DECOMP_SVD) semantics (the reference's per-point
+    solver, triangulation.py:92,151) including rank-deficient cases, where the
+    adjugate formula would blow up. Fully batched/elementwise.
+    """
+    if rcond is None:
+        rcond = 32.0 * float(jnp.finfo(N.dtype).eps)
+    w, V = eigh_jacobi(N, sweeps=sweeps)
+    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    ok = jnp.abs(w) > rcond * jnp.maximum(wmax, 1e-30)
+    inv_w = jnp.where(ok, 1.0 / jnp.where(ok, w, 1.0), 0.0)
+    tmp = jnp.sum(V * rhs[..., :, None], axis=-2)      # V^T rhs
+    return matvec_small(V, inv_w * tmp)
 
 
 def eigh_jacobi(S, sweeps: int = 8):

@@ -48,8 +48,19 @@ __all__ = [
 ]
 
 
-def _rows(u, P):
-    """Per-point DLT rows for one camera.
+def _prep(P):
+    """Normalize a camera matrix for per-point broadcasting.
+
+    P: [..., 3+, 4] with batch dims broadcastable against the *pose/trial*
+    batch of the image points (everything except their N axis). Returns
+    [..., 1, 3, 4] — the inserted axis aligns with N so all row operations
+    broadcast elementwise over points.
+    """
+    return P[..., None, :3, :4]
+
+
+def _rows(u, Pp):
+    """Per-point DLT rows for one camera (Pp pre-shaped by _prep).
 
     For image point (ux, uy): rows  ux*P[2,:] - P[0,:]  and  uy*P[2,:] - P[1,:]
     split into the 3-column part and the (negated) constant part.
@@ -57,13 +68,12 @@ def _rows(u, P):
     """
     ux = u[..., 0]  # [..., N]
     uy = u[..., 1]
-    P = P[..., :3, :]
-    r0, r1, r2 = P[..., 0, :], P[..., 1, :], P[..., 2, :]  # [..., 4]
-    a0 = ux[..., None] * r2[..., None, :3] - r0[..., None, :3]  # [..., N, 3]
-    a1 = uy[..., None] * r2[..., None, :3] - r1[..., None, :3]
+    r0, r1, r2 = Pp[..., 0, :], Pp[..., 1, :], Pp[..., 2, :]  # [..., 1, 4]
+    a0 = ux[..., None] * r2[..., :3] - r0[..., :3]  # [..., N, 3]
+    a1 = uy[..., None] * r2[..., :3] - r1[..., :3]
     A = jnp.stack([a0, a1], axis=-2)  # [..., N, 2, 3]
-    b0 = -(ux * r2[..., None, 3] - r0[..., None, 3])
-    b1 = -(uy * r2[..., None, 3] - r1[..., None, 3])
+    b0 = -(ux * r2[..., 3] - r0[..., 3])
+    b1 = -(uy * r2[..., 3] - r1[..., 3])
     b = jnp.stack([b0, b1], axis=-1)  # [..., N, 2]
     return A, b
 
@@ -82,9 +92,10 @@ def _normal_eq(A1, b1, A2, b2, w1, w2):
     return N, rhs
 
 
-def _depth(P, x):
-    """Depth of inhomogeneous 3D points under camera P: P[2,:3].x + P[2,3]."""
-    return jnp.sum(P[..., 2, :3] * x, axis=-1) + P[..., 2, 3]
+def _depth(Pp, x):
+    """Depth of inhomogeneous 3D points x [..., N, 3] under camera Pp
+    (pre-shaped by _prep): P[2,:3].x + P[2,3]."""
+    return jnp.sum(Pp[..., 2, :3] * x, axis=-1) + Pp[..., 2, 3]
 
 
 @partial(jax.jit, static_argnames=())
@@ -94,8 +105,8 @@ def linear_eigen(u1, P1, u2, P2, max_coordinate_value=1e16):
     Matches cv2.triangulatePoints semantics (triangulation.py:6-25): solve
     min |A xh| s.t. |xh|=1, dehomogenize, flag huge/non-finite points False.
     """
-    A1, b1 = _rows(u1, P1)
-    A2, b2 = _rows(u2, P2)
+    A1, b1 = _rows(u1, _prep(P1))
+    A2, b2 = _rows(u2, _prep(P2))
     # Full homogeneous rows: [A | -b]
     rows = jnp.concatenate([
         jnp.concatenate([A1, -b1[..., None]], axis=-1),
@@ -123,12 +134,13 @@ def linear_ls(u1, P1, u2, P2):
     triangulation.py:31-94; solved via closed-form symmetric 3x3 normal
     equations instead of a per-point SVD — elementwise over the batch.
     """
-    A1, b1 = _rows(u1, P1)
-    A2, b2 = _rows(u2, P2)
+    A1, b1 = _rows(u1, _prep(P1))
+    A2, b2 = _rows(u2, _prep(P2))
     one = jnp.ones(u1.shape[:-1], dtype=u1.dtype)
     N, rhs = _normal_eq(A1, b1, A2, b2, one, one)
-    x = linalg.solve3x3_sym(N, rhs)
-    return x, jnp.ones(u1.shape[:-1], dtype=bool)
+    x = linalg.pinv_solve_sym(N, rhs)
+    return x, jnp.ones(jnp.broadcast_shapes(u1.shape[:-1], x.shape[:-1]),
+                       dtype=bool)
 
 
 @partial(jax.jit, static_argnames=("iterations",))
@@ -141,9 +153,11 @@ def iterative_ls(u1, P1, u2, P2, tolerance=3e-5, iterations: int = 10):
     |d_new - d| <= tolerance on both depths, max ``iterations`` solves.
     Per-point convergence freezing replaces the per-point `break`.
     """
-    A1, b1 = _rows(u1, P1)
-    A2, b2 = _rows(u2, P2)
-    n_batch = u1.shape[:-1]
+    P1p = _prep(P1)
+    P2p = _prep(P2)
+    A1, b1 = _rows(u1, P1p)
+    A2, b2 = _rows(u2, P2p)
+    n_batch = jnp.broadcast_shapes(u1.shape[:-1], A1.shape[:-2])
     dt = u1.dtype
 
     x0 = jnp.zeros(n_batch + (3,), dtype=dt)
@@ -156,11 +170,11 @@ def iterative_ls(u1, P1, u2, P2, tolerance=3e-5, iterations: int = 10):
     def body(_, state):
         x, d1, d2, w1, w2, conv = state
         N, rhs = _normal_eq(A1, b1, A2, b2, w1, w2)
-        x_new = linalg.solve3x3_sym(N, rhs)
+        x_new = linalg.pinv_solve_sym(N, rhs)
         # Frozen (converged) points keep their solution.
         x = jnp.where(conv[..., None], x, x_new)
-        d1_new = jnp.where(conv, d1, _depth(P1, x))
-        d2_new = jnp.where(conv, d2, _depth(P2, x))
+        d1_new = jnp.where(conv, d1, _depth(P1p, x))
+        d2_new = jnp.where(conv, d2, _depth(P2p, x))
         # Convergence: the reference uses |delta depth| <= 3e-5 in float64
         # (triangulation.py:164-165). In float32 the depth jitter floor from
         # normal-equation roundoff is ~1e-4 relative at the study's working
@@ -178,10 +192,11 @@ def iterative_ls(u1, P1, u2, P2, tolerance=3e-5, iterations: int = 10):
         d2_safe = jnp.where(jnp.abs(d2_new) > 1e-30, d2_new, 1e-30)
         w1 = jnp.where(upd, w1 / d1_safe, w1)
         w2 = jnp.where(upd, w2 / d2_safe, w2)
-        # Common row scaling doesn't change the LS solution; renormalize by w1
-        # so the cumulative products can't underflow f32 (depths ~40 =>
-        # w ~ 40^-10 after 10 non-converged iterations otherwise).
-        scale = jnp.where(jnp.abs(w1) > 1e-30, jnp.abs(w1), 1e-30)
+        # Common row scaling doesn't change the LS solution; renormalize by
+        # the larger weight so the cumulative products can neither underflow
+        # (depths ~40 => w ~ 40^-10 after 10 non-converged iterations) nor
+        # overflow (dividing by a tiny |w1| would blow up w2) in f32.
+        scale = jnp.maximum(jnp.maximum(jnp.abs(w1), jnp.abs(w2)), 1e-30)
         w1 = w1 / scale
         w2 = w2 / scale
         return x, d1_new, d2_new, w1, w2, conv_next
@@ -228,7 +243,7 @@ def _optimal_correct(u1, u2, F):
     machine-precision optimal in practice). Replaces cv2.correctMatches.
     """
     # Map to the paper's convention x^T E x' = 0 with x = hom(u2), x' = hom(u1)
-    E = F
+    E = F[..., None, :, :]  # align batch with the points' N axis
     x2 = u2  # "x" (2D part)
     x1 = u1  # "x'" (2D part)
 

@@ -1,0 +1,535 @@
+"""Synthetic triangulation-method comparison study (TPU-native).
+
+Replicates the reference study (reference: Work/triangulation_comparison/
+triangulation_comparison.py) — 4 triangulation methods x 5 second-camera
+trajectories x noise models, with the same scene (grid points in a radius-4
+sphere at offset 40), the same camera model (f = min(resolution), principal
+point at center, k1 barrel distortion :91-113), the same noise process
+(gaussian sigma=0.8 px + discretization, :149-162), the same fixed seed
+(123456789, :370) and the same summary statistics (:205-260) — saved to .mat
+files with the same variable names so the reference's Octave visualizers run
+unchanged.
+
+TPU-first restructuring: the reference calls each method once per (pose,
+trial) — 32 000 sequential solver calls (:436-468). Here the noisy image
+points for ALL trials and poses of a trajectory are generated host-side as
+one array (bit-identical NumPy draws: same seed, same order), and each
+method runs as ONE jitted batched call of shape [poses, trials, N] per
+trajectory. Statistics reduce on host in float64.
+"""
+
+import math
+from dataclasses import dataclass
+from time import time
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mqslam_tpu.core import camera as cam_mod
+from mqslam_tpu.ops import triangulation as tri
+
+__all__ = [
+    "StudyParams", "StudyCamera", "finite_points", "infinite_points",
+    "make_trajectories", "test_1and2", "test_3", "main",
+]
+
+NUM_TRIALS = 10
+RSEED = 123456789
+ROBUSTNESS_THRESH_MAX = 1.0 ** 2   # triangulation_comparison.py:373-374
+ROBUSTNESS_THRESH_MIN = 1.0 ** 2
+METHOD_NAMES = ["linear_eigen_triangulation", "linear_LS_triangulation",
+                "iterative_LS_triangulation", "polynomial_triangulation"]
+METHODS = [tri.linear_eigen, tri.linear_ls, tri.iterative_ls, tri.optimal]
+
+
+@dataclass
+class StudyParams:
+    """default_params of the reference (:266-287)."""
+    points_source: str = "finite"
+    points_r: int = 4
+    points_max_angle: float = math.pi / 4
+    points_x_on: bool = True
+    points_y_on: bool = True
+    points_z_on: bool = True
+    cam_resolution: Tuple[int, int] = (640, 480)
+    cam_k1: float = 0.3
+    cam_pose_offset: float = 40.0
+    cam_noise_sigma: float = 0.8
+    cam_noise_discretized: bool = True
+    cam1_pose: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    cam2_pose: Tuple[float, float, float] = (5.0, 0.0, 0.0)
+
+
+def finite_points(r, x_on=True, y_on=True, z_on=True):
+    """Integer grid points inside a radius-r sphere, homogeneous [P, 4]
+    (:21-33)."""
+    rx, ry, rz = r * x_on, r * y_on, r * z_on
+    pts = [(x, y, z, 1.0)
+           for x in range(-rx, rx + 1)
+           for y in range(-ry, ry + 1)
+           for z in range(-rz, rz + 1)
+           if x * x + y * y + z * z <= r * r]
+    return np.array(pts, dtype=np.float64)
+
+
+def infinite_points(r, max_angle, x_on=True, y_on=True):
+    """Directions (w=0) on an XY disc pushed to infinite +Z (:35-49)."""
+    rx, ry = r * x_on, r * y_on
+    z = r / math.tan(max_angle)
+    pts = [(x, y, z, 0.0)
+           for x in range(-rx, rx + 1)
+           for y in range(-ry, ry + 1)
+           if x * x + y * y <= r * r]
+    return np.array(pts, dtype=np.float64)
+
+
+class StudyCamera:
+    """The study's camera: f = min(resolution), centered principal point,
+    k1-only barrel distortion; pose parameterized by (offset, sideways,
+    towards, angle) (:91-123)."""
+
+    def __init__(self, resolution=(640, 480), k1=0.0):
+        self.set_intrinsics(resolution, k1)
+
+    def set_intrinsics(self, resolution, k1):
+        self.f = float(min(resolution))
+        self.c = np.array(resolution, dtype=np.float64) / 2.0
+        self.k1 = float(k1)
+        self.resolution = resolution
+        self.cal = cam_mod.Cal3DS2.from_array(np.array(
+            [self.f, self.f, 0.0, self.c[0], self.c[1],
+             self.k1, 0.0, 0.0, 0.0]))
+
+    @staticmethod
+    def pose(offset, sideways=0.0, towards=0.0, angle=0.0):
+        """3x4 P: camera starts at (0,0,-offset) looking along +Z, translated
+        by (sideways, 0, towards), rotated by `angle` around Y (:109-123)."""
+        sa, ca = math.sin(angle), math.cos(angle)
+        R = np.array([[ca, 0.0, sa], [0.0, 1.0, 0.0], [-sa, 0.0, ca]])
+        center = np.array([sideways, 0.0, -offset + towards])
+        t = -R @ center
+        return np.concatenate([R, t[:, None]], axis=1)
+
+    def project_exact(self, points_h, P):
+        """Project homogeneous [N,4] points (w=0 supported) to pixels with
+        distortion — NumPy float64, matching the reference's
+        cv2.projectPoints path (:127-147)."""
+        pc = points_h @ P.T  # [N, 3]
+        xn = pc[:, :2] / pc[:, 2:3]
+        x, y = xn[:, 0], xn[:, 1]
+        r2 = x * x + y * y
+        radial = 1.0 + self.k1 * r2
+        xd = np.stack([x * radial, y * radial], axis=1)
+        return xd * self.f + self.c
+
+
+def apply_noise(points_2D_exact, sigma, discretized, rng):
+    """The reference noise process (:149-162): additive gaussian (skipped
+    entirely when sigma == 0 — rng must not advance), optional rint."""
+    if sigma:
+        pts = points_2D_exact + rng.normal(0, sigma, points_2D_exact.shape)
+    else:
+        pts = points_2D_exact
+    if discretized:
+        pts = np.rint(pts)
+    return pts
+
+
+def make_trajectories(offset=40.0, num_poses=40, max_sideways=12.0,
+                      max_towards=12.0):
+    """The five second-camera trajectories (:383-401)."""
+
+    def traj(descr, from_sideways=0.0, to_sideways=0.0, from_towards=0.0,
+             to_towards=0.0, from_angle=0.0, to_angle=0.0,
+             angle_by_sideways=False):
+        if angle_by_sideways:
+            from_angle = math.asin(from_sideways / offset)
+            to_angle = math.asin(to_sideways / offset)
+            angles = np.linspace(from_angle, to_angle, num_poses)
+            sideways = offset * np.sin(angles)
+            towards = offset * (1 - np.cos(angles))
+        else:
+            sideways = np.linspace(from_sideways, to_sideways, num_poses)
+            towards = np.linspace(from_towards, to_towards, num_poses)
+            angles = np.linspace(from_angle, to_angle, num_poses)
+        return {"traj_descr": descr, "sideways_values": sideways,
+                "towards_values": towards, "angle_values": angles}
+
+    return [
+        traj("From 1st cam, to sideways", to_sideways=max_sideways),
+        traj("From 1st cam, towards the sphere of points",
+             to_towards=max_towards),
+        traj("From last pose of trajectory 1, towards the sphere of points, "
+             "parallel to trajectory 2", from_sideways=max_sideways,
+             to_sideways=max_sideways, to_towards=max_towards),
+        traj("From 1st cam, describing circle (while facing the sphere of "
+             "points) until intersecting with trajectory 3",
+             to_sideways=max_sideways, angle_by_sideways=True),
+        traj("From last pose of trajectory 4, describing circle (while "
+             "facing the sphere of points) until 90 degrees",
+             from_sideways=max_sideways, to_sideways=offset,
+             angle_by_sideways=True),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Device-side batched evaluation
+
+def _normalize_obs(u_px, f, c, k1, dtype):
+    """Pixels -> normalized coords; shortcut division when k1 == 0, iterative
+    undistortion otherwise (:164-173 semantics)."""
+    u = jnp.asarray(u_px, dtype=dtype)
+    if k1 == 0.0:
+        return (u - jnp.asarray(c, dtype=dtype)) / dtype.type(f)
+    cal = cam_mod.Cal3DS2.from_array(jnp.asarray(
+        [f, f, 0.0, c[0], c[1], k1, 0.0, 0.0, 0.0], dtype=dtype))
+    return cam_mod.undistort_points(u, cal, iters=10)
+
+
+def _project_px(x, P, f, c, k1):
+    """Project inhomogeneous 3D points through 3x4 P with k1 distortion
+    (device side, for the 2D reprojection error)."""
+    # P batch dims cover poses; add an axis so they broadcast over the
+    # trailing point dimension of x as well.
+    Px = P[..., None, :3, :]  # [..., 1, 3, 4]
+    pc = (Px[..., :3] * x[..., None, :]).sum(-1) + Px[..., 3]
+    z = pc[..., 2]
+    zs = jnp.where(jnp.abs(z) > 1e-30, z, 1e-30)
+    xn = pc[..., :2] / zs[..., None]
+    r2 = jnp.sum(xn * xn, axis=-1, keepdims=True)
+    xd = xn * (1.0 + k1 * r2)
+    return xd * f + jnp.asarray(c, dtype=x.dtype)
+
+
+def _eval_all_methods(u1n, P1, u2n, P2, points_xyz, inf_mask, f, c, k1):
+    """One batched evaluation: u1n [B..., N, 2], P2 may carry batch dims.
+
+    Returns per method: err3D vectors [B..., N, 3], err2D (cam1, cam2)
+    [B..., N, 2] each, statuses [B..., N].
+    """
+    out = []
+    for fn in METHODS:
+        x, status = fn(u1n, P1, u2n, P2)
+        err3d = x - points_xyz
+        e1 = _project_px(x, P1, f, c, k1) - _project_px(points_xyz, P1, f, c,
+                                                       k1)
+        # exact 2D points recomputed from exact geometry (cheaper than
+        # shipping them in; identical values)
+        out.append((err3d, e1, _project_px(x, P2, f, c, k1)
+                    - _project_px(points_xyz, P2, f, c, k1),
+                    status.astype(jnp.int32)))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Host-side statistics (float64, reference formulas :205-260)
+
+def _error_rms(err_vectors):
+    errors = np.sum(np.asarray(err_vectors, dtype=np.float64) ** 2, axis=-1)
+    errors = errors.reshape(-1)
+    return (np.sqrt(np.mean(errors)), np.sqrt(np.median(errors)), errors)
+
+
+def _robustness(errors, statuses):
+    statuses = np.asarray(statuses).reshape(-1)
+    pos_max = errors <= ROBUSTNESS_THRESH_MAX
+    pos_min = errors <= ROBUSTNESS_THRESH_MIN
+    pos_est = statuses > 0
+    fp = np.logical_and(~pos_max, pos_est)
+    fn = np.logical_and(pos_min, ~pos_est)
+    return float(np.mean(fp)), float(np.mean(fn))
+
+
+def _vector_stat(err_vectors):
+    """Per-point mean vector + covariance over trials (:219-239);
+    err_vectors [trials, N, 3]."""
+    e = np.asarray(err_vectors, dtype=np.float64)
+    means = e.mean(axis=0)
+    dev = e - means[None]
+    covars = np.einsum("tni,tnj->nij", dev, dev) / e.shape[0]
+    return means, covars
+
+
+# ---------------------------------------------------------------------------
+# Tests
+
+_timer_total = 0.0
+
+
+def _timed(fn, *args):
+    global _timer_total
+    t0 = time()
+    out = jax.block_until_ready(fn(*args))
+    _timer_total += time() - t0
+    return out
+
+
+def _observations_for_poses(cam1, cam2, P1, P2s, points_h, sigma,
+                            discretized):
+    """Exact projections + per-(pose, trial) noisy observations, drawn in the
+    reference's order: seed reset per pose, then cam1 noise, cam2 noise per
+    trial (:447-453)."""
+    exact1 = cam1.project_exact(points_h, P1)
+    n = len(points_h)
+    u1 = np.empty((len(P2s), NUM_TRIALS, n, 2))
+    u2 = np.empty((len(P2s), NUM_TRIALS, n, 2))
+    inside = True
+    for pi, P2 in enumerate(P2s):
+        exact2 = cam2.project_exact(points_h, P2)
+        rng = np.random.RandomState(RSEED)
+        for t in range(NUM_TRIALS):
+            u1[pi, t] = apply_noise(exact1, sigma, discretized, rng)
+            u2[pi, t] = apply_noise(exact2, sigma, discretized, rng)
+            w, h = cam2.resolution
+            inside &= bool(np.all((0 <= u2[pi, t, :, 0])
+                                  & (u2[pi, t, :, 0] < w)
+                                  & (0 <= u2[pi, t, :, 1])
+                                  & (u2[pi, t, :, 1] < h)))
+    return u1, u2, inside
+
+
+def test_1and2(trajectories=None, filename="test_1and2.mat",
+               params=None, dtype=jnp.float32, verbose=True):
+    """Tests 1 & 2: error vs camera configuration and vs point position
+    (:403-515). One jitted batch per trajectory."""
+    import scipy.io as sio
+
+    params = params or StudyParams()
+    trajectories = trajectories or make_trajectories(params.cam_pose_offset)
+    points_h = (finite_points(params.points_r, params.points_x_on,
+                              params.points_y_on, params.points_z_on)
+                if params.points_source == "finite" else
+                infinite_points(params.points_r, params.points_max_angle,
+                                params.points_x_on, params.points_y_on))
+    n_pts = len(points_h)
+    num_poses = len(trajectories[0]["sideways_values"])
+    n_traj = len(trajectories)
+    n_meth = len(METHODS)
+
+    cam1 = StudyCamera(params.cam_resolution, params.cam_k1)
+    cam2 = StudyCamera(params.cam_resolution, params.cam_k1)
+    P1 = StudyCamera.pose(params.cam_pose_offset, *params.cam1_pose)
+
+    shapes = (n_traj, num_poses, n_meth)
+    err3D_mean = np.zeros(shapes)
+    err3D_median = np.zeros(shapes)
+    err2D_mean = np.zeros(shapes)
+    err2D_median = np.zeros(shapes)
+    false_pos = np.zeros(shapes)
+    false_neg = np.zeros(shapes)
+    p_err3D_mean = np.zeros((n_traj, n_meth, n_pts))
+    p_err3D_median = np.zeros((n_traj, n_meth, n_pts))
+    p_err3Dv_mean = np.zeros((n_traj, n_meth, n_pts, 3))
+    p_err3Dv_covar = np.zeros((n_traj, n_meth, n_pts, 3, 3))
+
+    eval_jit = jax.jit(_eval_all_methods, static_argnames=("f", "k1"))
+    inf_mask = points_h[:, 3] == 0.0
+    points_xyz = jnp.asarray(
+        np.where(inf_mask[:, None], 0.0, points_h[:, :3]), dtype=dtype)
+    is_inside = True
+
+    for ti_traj, traj in enumerate(trajectories):
+        if verbose:
+            print(f"Performing trajectory id {ti_traj} ...")
+        P2s = [StudyCamera.pose(params.cam_pose_offset, sw, tw, an)
+               for sw, tw, an in zip(traj["sideways_values"],
+                                     traj["towards_values"],
+                                     traj["angle_values"])]
+        u1_px, u2_px, inside = _observations_for_poses(
+            cam1, cam2, P1, P2s, points_h, params.cam_noise_sigma,
+            params.cam_noise_discretized)
+        is_inside &= inside
+        u1n = _normalize_obs(u1_px, cam1.f, cam1.c, cam1.k1, jnp.dtype(dtype))
+        u2n = _normalize_obs(u2_px, cam2.f, cam2.c, cam2.k1, jnp.dtype(dtype))
+        P1j = jnp.asarray(P1, dtype=dtype)
+        P2j = jnp.asarray(np.stack(P2s), dtype=dtype)[:, None]  # [poses,1,3,4]
+        results = _timed(eval_jit, u1n, P1j, u2n, P2j, points_xyz,
+                         jnp.asarray(inf_mask), cam1.f, tuple(cam1.c),
+                         cam1.k1)
+
+        for mi, (err3d, e1, e2, status) in enumerate(results):
+            err3d = np.asarray(err3d, dtype=np.float64)
+            e12 = np.concatenate([np.asarray(e1, dtype=np.float64),
+                                  np.asarray(e2, dtype=np.float64)], axis=-2)
+            status = np.asarray(status)
+            for pi in range(num_poses):
+                m, med, errors = _error_rms(err3d[pi])
+                err3D_mean[ti_traj, pi, mi] = m
+                err3D_median[ti_traj, pi, mi] = med
+                m2, med2, _ = _error_rms(e12[pi])
+                err2D_mean[ti_traj, pi, mi] = m2
+                err2D_median[ti_traj, pi, mi] = med2
+                fp, fn_ = _robustness(errors, status[pi])
+                false_pos[ti_traj, pi, mi] = fp
+                false_neg[ti_traj, pi, mi] = fn_
+            # per-point stats at last pose
+            last = err3d[num_poses - 1]  # [trials, N, 3]
+            per_pt = np.sqrt((last ** 2).sum(-1))  # [trials, N]
+            p_err3D_mean[ti_traj, mi] = np.sqrt((per_pt ** 2).mean(axis=0))
+            p_err3D_median[ti_traj, mi] = np.sqrt(
+                np.median(per_pt ** 2, axis=0))
+            mean_v, covar_v = _vector_stat(last)
+            p_err3Dv_mean[ti_traj, mi] = mean_v
+            p_err3Dv_covar[ti_traj, mi] = covar_v
+
+    if not is_inside:
+        print("Warning: some points fell out of view.")
+
+    variables = {
+        "err3D_mean_summary": err3D_mean,
+        "err3D_median_summary": err3D_median,
+        "err2D_mean_summary": err2D_mean,
+        "err2D_median_summary": err2D_median,
+        "false_pos_summary": false_pos,
+        "false_neg_summary": false_neg,
+        "p_err3D_mean_summary": p_err3D_mean,
+        "p_err3D_median_summary": p_err3D_median,
+        "p_err3Dv_mean_summary": p_err3Dv_mean,
+        "p_err3Dv_covar_summary": p_err3Dv_covar,
+        "units": ["trajectory id", "node in a trajectory",
+                  "triangulation method", "point index"],
+        "trajectories": trajectories,
+        "triangl_methods": METHOD_NAMES,
+        "points_3D": points_h,
+        "robustness_thresh_max": ROBUSTNESS_THRESH_MAX,
+        "robustness_thresh_min": ROBUSTNESS_THRESH_MIN,
+        "num_trials": NUM_TRIALS,
+        "rseed": RSEED,
+        "num_poses": num_poses,
+    }
+    if filename:
+        sio.savemat(filename, variables)
+    return variables
+
+
+def test_3(trajectories=None, max_noise_sigma=4.0, num_noise_tests=40,
+           filename="test_3.mat", params=None, dtype=jnp.float32,
+           verbose=True):
+    """Test 3: error vs noise model, at the last pose of each trajectory
+    (:517-627). Three noise types: gaussian; +discretization; +distortion."""
+    import scipy.io as sio
+
+    params = params or StudyParams()
+    trajectories = trajectories or make_trajectories(params.cam_pose_offset)
+    points_h = finite_points(params.points_r, params.points_x_on,
+                             params.points_y_on, params.points_z_on)
+    inf_mask = points_h[:, 3] == 0.0
+    n_meth = len(METHODS)
+    num_noise_types = 3
+    shapes = (len(trajectories), num_noise_types, num_noise_tests, n_meth)
+    sums = {k: np.zeros(shapes) for k in
+            ["err3D_mean", "err3D_median", "err2D_mean", "err2D_median",
+             "false_pos", "false_neg"]}
+    noise_sigmas = np.linspace(0, max_noise_sigma, num_noise_tests)
+
+    cam1 = StudyCamera(params.cam_resolution, 0.0)
+    cam2 = StudyCamera(params.cam_resolution, 0.0)
+    P1 = StudyCamera.pose(params.cam_pose_offset, *params.cam1_pose)
+    eval_jit = jax.jit(_eval_all_methods, static_argnames=("f", "k1"))
+    points_xyz = jnp.asarray(
+        np.where(inf_mask[:, None], 0.0, points_h[:, :3]), dtype=dtype)
+    is_inside = True
+
+    for ti_traj, traj in enumerate(trajectories):
+        P2 = StudyCamera.pose(params.cam_pose_offset,
+                              traj["sideways_values"][-1],
+                              traj["towards_values"][-1],
+                              traj["angle_values"][-1])
+        for ntyi in range(num_noise_types):
+            if verbose:
+                print(f"Performing trajectory {ti_traj} noise type {ntyi} ...")
+            discretized = ntyi >= 1
+            k1 = params.cam_k1 if ntyi == 2 else 0.0
+            cam1.set_intrinsics(params.cam_resolution, k1)
+            cam2.set_intrinsics(params.cam_resolution, k1)
+            # Batch all (sigma, trial) pairs of this noise type in one call.
+            u1_all = np.empty((num_noise_tests, NUM_TRIALS, len(points_h), 2))
+            u2_all = np.empty_like(u1_all)
+            exact1 = cam1.project_exact(points_h, P1)
+            exact2 = cam2.project_exact(points_h, P2)
+            for nti, sigma in enumerate(noise_sigmas):
+                rng = np.random.RandomState(RSEED)
+                for t in range(NUM_TRIALS):
+                    u1_all[nti, t] = apply_noise(exact1, sigma, discretized,
+                                                 rng)
+                    u2_all[nti, t] = apply_noise(exact2, sigma, discretized,
+                                                 rng)
+                    w, h = cam2.resolution
+                    is_inside &= bool(np.all(
+                        (0 <= u2_all[nti, t, :, 0]) & (u2_all[nti, t, :, 0] < w)
+                        & (0 <= u2_all[nti, t, :, 1])
+                        & (u2_all[nti, t, :, 1] < h)))
+            u1n = _normalize_obs(u1_all, cam1.f, cam1.c, k1, jnp.dtype(dtype))
+            u2n = _normalize_obs(u2_all, cam2.f, cam2.c, k1, jnp.dtype(dtype))
+            results = _timed(eval_jit, u1n, jnp.asarray(P1, dtype=dtype),
+                             u2n, jnp.asarray(P2, dtype=dtype),
+                             points_xyz, jnp.asarray(inf_mask),
+                             cam1.f, tuple(cam1.c), k1)
+            for mi, (err3d, e1, e2, status) in enumerate(results):
+                err3d = np.asarray(err3d, dtype=np.float64)
+                e12 = np.concatenate([np.asarray(e1, dtype=np.float64),
+                                      np.asarray(e2, dtype=np.float64)],
+                                     axis=-2)
+                status = np.asarray(status)
+                for nti in range(num_noise_tests):
+                    m, med, errors = _error_rms(err3d[nti])
+                    sums["err3D_mean"][ti_traj, ntyi, nti, mi] = m
+                    sums["err3D_median"][ti_traj, ntyi, nti, mi] = med
+                    m2, med2, _ = _error_rms(e12[nti])
+                    sums["err2D_mean"][ti_traj, ntyi, nti, mi] = m2
+                    sums["err2D_median"][ti_traj, ntyi, nti, mi] = med2
+                    fp, fn_ = _robustness(errors, status[nti])
+                    sums["false_pos"][ti_traj, ntyi, nti, mi] = fp
+                    sums["false_neg"][ti_traj, ntyi, nti, mi] = fn_
+
+    if not is_inside:
+        print("Warning: some points fell out of view.")
+
+    variables = {
+        "err3D_mean_summary": sums["err3D_mean"],
+        "err3D_median_summary": sums["err3D_median"],
+        "err2D_mean_summary": sums["err2D_mean"],
+        "err2D_median_summary": sums["err2D_median"],
+        "false_pos_summary": sums["false_pos"],
+        "false_neg_summary": sums["false_neg"],
+        "units": ["id of last pose's trajectory", "noise type id",
+                  "noise sigma id", "triangulation method"],
+        "trajectories": trajectories,
+        "noise_type_descr": [
+            "Add. gauss. noise", "Add. gauss. noise + discret.",
+            "Add. gauss. noise + discret. + rad. distort. (barrel)"],
+        "noise_sigma_values": noise_sigmas,
+        "triangl_methods": METHOD_NAMES,
+        "points_3D": points_h,
+        "robustness_thresh_max": ROBUSTNESS_THRESH_MAX,
+        "robustness_thresh_min": ROBUSTNESS_THRESH_MIN,
+        "num_trials": NUM_TRIALS,
+        "rseed": RSEED,
+        "num_noise_tests": num_noise_tests,
+        "max_noise_sigma": max_noise_sigma,
+    }
+    if filename:
+        sio.savemat(filename, variables)
+    return variables
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--skip-test3", action="store_true")
+    args = ap.parse_args(argv)
+    import os
+    print("Running tests 1 and 2 ...")
+    test_1and2(filename=os.path.join(args.out_dir, "test_1and2.mat"))
+    if not args.skip_test3:
+        print("Running test 3 ...")
+        test_3(filename=os.path.join(args.out_dir, "test_3.mat"))
+    print(f"device triangulation+eval time: {_timer_total:.3f} s")
+
+
+if __name__ == "__main__":
+    main()
