@@ -1,0 +1,313 @@
+"""The jitted front-end step: flow -> reject ladder -> PnP -> keyframe logic.
+
+Faithful to the reference front-end's per-frame pipeline
+(reference: Work/SLAM/application/own/slam2.py:360-695 handle_new_frame, with
+the tuning block slam2.py:1072-1096):
+
+  1. pyramidal LK flow, drop tracks with err >= max_OF_error (:381-383)
+  2. reject frame when lost-track ratio > 0.5 (:385-431)
+  3. reject when < 8 triangulated tracks survive (:434-439)
+  4. RANSAC PnP (2 px, outlier ratio <= 0.33) else reject (:448-468)
+  5. refine PnP on inliers w/ extrinsic guess; reject if RMS > 2 px (:482-497)
+  6. homography-degeneracy keyframe test (sigma0/sigma2 > 1.04, :43-58)
+  7. on keyframe: triangulate new landmarks vs the last keyframe
+     (iterative-LS, keep status==1), refine pose on all points,
+     re-triangulate (keep status>=0), store landmarks, refill features
+     to the target count, promote frame to keyframe (:539-692)
+
+TPU-first: the track table is fixed capacity (slots + masks, no index
+rebasing); every stage is batched masked arithmetic; frame rejection is a
+single where-select back to the previous state; the keyframe branch runs
+under the same trace with masked effects (no data-dependent Python control
+flow).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mqslam_tpu.core import camera as cam_mod, se3, so3
+from mqslam_tpu.ops import features, homography, lk, pnp
+from mqslam_tpu.ops import triangulation as tri
+
+__all__ = ["TrackerConfig", "TrackerState", "StepOutput", "make_step",
+           "bootstrap"]
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Static tuning parameters (slam2.py:1072-1096 defaults)."""
+    max_tracks: int = 384
+    max_landmarks: int = 8192
+    target_keypoints: int = 300          # min(300, area/(pi r^2))
+    max_of_error: float = 12.0
+    max_lost_tracks_ratio: float = 0.5
+    coverage_radius: int = 12            # keypoint_coverage_radius
+    corner_quality_level: float = 0.01
+    homography_threshold: float = 1.04
+    max_pnp_reproj_error: float = 2.0
+    max_pnp_outlier_ratio: float = 0.33
+    min_triangulated: int = 8
+    ransac_hypotheses: int = 128
+    lk_win: int = 21
+    lk_levels: int = 3
+
+
+class TrackerState(NamedTuple):
+    """Fixed-capacity tracker state (a pytree of device arrays)."""
+    base_uv: jnp.ndarray        # [K, 2] position at last keyframe
+    cur_uv: jnp.ndarray         # [K, 2] position at current frame
+    active: jnp.ndarray         # [K] bool
+    triangulated: jnp.ndarray   # [K] bool
+    objp_idx: jnp.ndarray       # [K] int32 into landmark store
+    objp: jnp.ndarray           # [M, 3]
+    objp_color: jnp.ndarray     # [M] f32 sampled base-image intensity
+    objp_group: jnp.ndarray     # [M] int32
+    n_objp: jnp.ndarray         # scalar int32
+    rvec: jnp.ndarray           # [3] current pose (world -> cam)
+    tvec: jnp.ndarray           # [3]
+    rvec_keyfr: jnp.ndarray     # [3] last keyframe pose
+    tvec_keyfr: jnp.ndarray     # [3]
+    group_id: jnp.ndarray       # scalar int32
+    key: jnp.ndarray            # PRNG key
+
+
+class StepOutput(NamedTuple):
+    """Per-frame results for the host (trajectory + BA bookkeeping)."""
+    accepted: jnp.ndarray       # int32: 0 rejected, 1 tracked, 2 keyframe
+    rvec: jnp.ndarray
+    tvec: jnp.ndarray
+    cur_uv: jnp.ndarray         # [K, 2] (valid where track_alive)
+    track_alive: jnp.ndarray    # [K] bool after this frame
+    track_triangulated: jnp.ndarray  # [K] bool after this frame
+    objp_idx: jnp.ndarray       # [K]
+    pnp_inlier: jnp.ndarray     # [K] bool (triangulated tracks used as 2D3D)
+    new_landmarks: jnp.ndarray  # [K] bool tracks triangulated THIS frame
+    n_tracks: jnp.ndarray
+    lost_ratio: jnp.ndarray
+    homography_condition: jnp.ndarray
+
+
+def bootstrap(uv, objp, cal, img, config: TrackerConfig, key,
+              timestamp_group: int = 0):
+    """Frame-0 initialization from known 2D-3D correspondences
+    (slam2.py:1121-1181: chessboard or predefined init points + absolute
+    solvePnP + feature refill)."""
+    K = config.max_tracks
+    M = config.max_landmarks
+    uv = jnp.asarray(uv, jnp.float32)
+    objp = jnp.asarray(objp, jnp.float32)
+    n0 = uv.shape[0]
+    assert n0 <= K, "more init points than track capacity"
+
+    # absolute pose from the init correspondences (coplanar-safe)
+    uvn = cam_mod.undistort_points(uv, cal)
+    R, t = pnp.pnp_solve(objp, uvn)
+    rvec0 = so3.log(R)
+    rvec, tvec = pnp.pnp_refine(objp, uv, cal, rvec0, t, iters=10)
+
+    base_uv = jnp.zeros((K, 2), jnp.float32).at[:n0].set(uv)
+    active = jnp.zeros(K, bool).at[:n0].set(True)
+    triangulated = jnp.zeros(K, bool).at[:n0].set(True)
+    objp_idx = jnp.zeros(K, jnp.int32).at[:n0].set(jnp.arange(n0))
+    objp_store = jnp.zeros((M, 3), jnp.float32).at[:n0].set(objp)
+    color0 = lk.bilinear_sample(jnp.asarray(img, jnp.float32), uv)
+    objp_color = jnp.zeros(M, jnp.float32).at[:n0].set(color0)
+    objp_group = jnp.zeros(M, jnp.int32)
+
+    state = TrackerState(
+        base_uv=base_uv, cur_uv=base_uv, active=active,
+        triangulated=triangulated, objp_idx=objp_idx, objp=objp_store,
+        objp_color=objp_color, objp_group=objp_group,
+        n_objp=jnp.int32(n0), rvec=rvec, tvec=tvec, rvec_keyfr=rvec,
+        tvec_keyfr=tvec, group_id=jnp.int32(1), key=key)
+    # refill detection around the init points
+    state = _refill(state, jnp.asarray(img, jnp.float32), config,
+                    bump_group=False)
+    return state
+
+
+def _refill(state: TrackerState, img, config: TrackerConfig,
+            bump_group=True):
+    """Detect new corners (masked by existing tracks) and place them into
+    free slots up to target_keypoints (slam2.py:656-672)."""
+    K = config.max_tracks
+    det_uv, det_valid = features.detect_corners(
+        img, max_corners=K, quality_level=config.corner_quality_level,
+        cell=config.coverage_radius, existing=state.cur_uv,
+        existing_valid=state.active)
+    n_cur = jnp.sum(state.active)
+    to_add = jnp.maximum(0, config.target_keypoints - n_cur)
+
+    # free slots first (stable order), new detections ranked by response
+    free_order = jnp.argsort(state.active.astype(jnp.int32))  # free first
+    n_free = K - n_cur
+    det_rank = jnp.arange(K)
+    det_take = det_valid & (det_rank < jnp.minimum(to_add, n_free))
+    slot_for_det = free_order[det_rank]
+
+    # scatter: for each taken detection j -> slot free_order[j]
+    new_active = state.active.at[slot_for_det].set(
+        jnp.where(det_take, True, state.active[slot_for_det]))
+    new_cur = state.cur_uv.at[slot_for_det].set(
+        jnp.where(det_take[:, None], det_uv, state.cur_uv[slot_for_det]))
+    new_base = state.base_uv.at[slot_for_det].set(
+        jnp.where(det_take[:, None], det_uv, state.base_uv[slot_for_det]))
+    new_tri = state.triangulated.at[slot_for_det].set(
+        jnp.where(det_take, False, state.triangulated[slot_for_det]))
+    added_any = jnp.sum(det_take) > 0
+    group_id = state.group_id + (jnp.int32(1) if bump_group else 0) * (
+        added_any.astype(jnp.int32))
+    return state._replace(base_uv=new_base, cur_uv=new_cur,
+                          active=new_active, triangulated=new_tri,
+                          group_id=group_id)
+
+
+def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
+    """Build the jitted per-frame step closed over calibration + config."""
+
+    @jax.jit
+    def step(state: TrackerState, prev_img, new_img):
+        K = config.max_tracks
+        M = config.max_landmarks
+        key, k_ransac = jax.random.split(state.key)
+
+        # ---- 1. optical flow + error gate ----
+        new_uv, st_of, err_of = lk.lk_track(
+            prev_img, new_img, state.cur_uv, state.active,
+            win=config.lk_win, levels=config.lk_levels)
+        alive = state.active & st_of & (err_of < config.max_of_error)
+        n_active = jnp.maximum(jnp.sum(state.active), 1)
+        lost_ratio = (jnp.sum(state.active) - jnp.sum(alive)) / n_active
+        reject_lost = lost_ratio > config.max_lost_tracks_ratio
+
+        # ---- 2. PnP on triangulated survivors ----
+        tri_alive = alive & state.triangulated
+        n_tri = jnp.sum(tri_alive)
+        reject_few = n_tri < config.min_triangulated
+
+        track_objp = state.objp[state.objp_idx]  # [K, 3]
+        rvec_r, tvec_r, inlier, n_inl = pnp.pnp_ransac(
+            track_objp, new_uv, cal, tri_alive, k_ransac,
+            n_hyp=config.ransac_hypotheses,
+            reproj_threshold=config.max_pnp_reproj_error)
+        outlier_ratio = (n_tri - n_inl) / jnp.maximum(n_tri, 1)
+        reject_outl = (outlier_ratio > config.max_pnp_outlier_ratio) | (
+            n_inl < config.min_triangulated)
+
+        # ---- 3. refinement on inliers + reprojection gate ----
+        rvec_f, tvec_f = pnp.pnp_refine(track_objp, new_uv, cal, rvec_r,
+                                        tvec_r, valid=inlier, iters=10)
+        rms, _ = pnp.reprojection_error(track_objp, new_uv, cal, rvec_f,
+                                        tvec_f, valid=inlier)
+        reject_rms = rms > config.max_pnp_reproj_error
+
+        rejected = reject_lost | reject_few | reject_outl | reject_rms
+
+        # tracks kept after PnP: triangulated inliers + all non-triangulated
+        keep = (inlier & tri_alive) | (alive & ~state.triangulated)
+
+        # ---- 4. keyframe test ----
+        base_n = cam_mod.undistort_points(state.base_uv, cal)
+        new_n = cam_mod.undistort_points(new_uv, cal)
+        H = homography.fit_homography(base_n, new_n, keep)
+        cond = homography.homography_condition(H)
+        is_kf = (~rejected) & (cond > config.homography_threshold)
+
+        # ---- 5. keyframe processing (masked; selected only when is_kf) ----
+        P_keyfr = se3.from_rvec_tvec(state.rvec_keyfr, state.tvec_keyfr)
+        P_cur = se3.from_rvec_tvec(rvec_f, tvec_f)
+        nontri = keep & ~state.triangulated
+        x_new, st_tri = tri.iterative_ls(base_n, P_keyfr, new_n, P_cur)
+        ok1 = nontri & (st_tri == 1)
+
+        # refine pose on inlier-triangulated + freshly triangulated points
+        objp_all = jnp.where(ok1[:, None], x_new, track_objp)
+        use_pts = (inlier & tri_alive) | ok1
+        rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, new_uv, cal, rvec_f,
+                                          tvec_f, valid=use_pts, iters=10)
+        # re-triangulate with the refined pose; keep points in front of cams
+        P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
+        x_new2, st_tri2 = tri.iterative_ls(base_n, P_keyfr, new_n, P_cur2)
+        ok2 = ok1 & (st_tri2 >= 0)
+
+        # landmark store append (capped at M)
+        new_rank = jnp.cumsum(ok2.astype(jnp.int32)) - 1
+        dest = state.n_objp + new_rank
+        can_store = ok2 & (dest < M)
+        dest_safe = jnp.where(can_store, dest, M - 1)
+        objp_store = state.objp.at[dest_safe].set(
+            jnp.where(can_store[:, None], x_new2, state.objp[dest_safe]))
+        # NOTE: the reference samples landmark colors from the base
+        # (keyframe) image (slam2.py:627, "they don't have OF drift"); this
+        # frame is becoming the new base image, so sampling it at the
+        # tracked positions matches those semantics.
+        color_new = lk.bilinear_sample(new_img, new_uv)
+        objp_color = state.objp_color.at[dest_safe].set(
+            jnp.where(can_store, color_new, state.objp_color[dest_safe]))
+        objp_group = state.objp_group.at[dest_safe].set(
+            jnp.where(can_store, state.group_id,
+                      state.objp_group[dest_safe]))
+        n_objp_new = state.n_objp + jnp.sum(can_store)
+
+        # at a keyframe: drop non-triangulated tracks that failed (:615-617)
+        keep_kf = (inlier & tri_alive) | can_store
+
+        # ---- 6. assemble the three outcomes ----
+        def sel(kf_val, acc_val, rej_val):
+            return jnp.where(is_kf, kf_val,
+                             jnp.where(rejected, rej_val, acc_val))
+
+        active_out = sel(keep_kf, keep, state.active)
+        objp_idx_out = jnp.where(is_kf & can_store,
+                                 dest_safe.astype(jnp.int32),
+                                 state.objp_idx)
+        cur_uv_out = jnp.where(rejected, state.cur_uv, new_uv)
+        base_uv_out = jnp.where(is_kf, new_uv, state.base_uv)
+
+        new_state = TrackerState(
+            base_uv=base_uv_out,
+            cur_uv=cur_uv_out,
+            active=active_out,
+            triangulated=jnp.where(is_kf,
+                                   state.triangulated | can_store,
+                                   state.triangulated),
+            objp_idx=objp_idx_out,
+            objp=jnp.where(is_kf, objp_store, state.objp),
+            objp_color=jnp.where(is_kf, objp_color, state.objp_color),
+            objp_group=jnp.where(is_kf, objp_group, state.objp_group),
+            n_objp=jnp.where(is_kf, n_objp_new, state.n_objp),
+            rvec=sel(rvec_kf, rvec_f, state.rvec),
+            tvec=sel(tvec_kf, tvec_f, state.tvec),
+            rvec_keyfr=jnp.where(is_kf, rvec_kf, state.rvec_keyfr),
+            tvec_keyfr=jnp.where(is_kf, tvec_kf, state.tvec_keyfr),
+            group_id=state.group_id,
+            key=key,
+        )
+
+        out = StepOutput(
+            accepted=jnp.where(rejected, 0, jnp.where(is_kf, 2, 1)
+                               ).astype(jnp.int32),
+            rvec=new_state.rvec, tvec=new_state.tvec,
+            cur_uv=new_state.cur_uv,
+            track_alive=new_state.active,
+            track_triangulated=new_state.triangulated,
+            objp_idx=new_state.objp_idx,
+            pnp_inlier=inlier & tri_alive,
+            new_landmarks=is_kf & can_store,
+            n_tracks=jnp.sum(new_state.active),
+            lost_ratio=lost_ratio,
+            homography_condition=cond,
+        )
+        return new_state, out
+
+    @jax.jit
+    def refill_kf(state: TrackerState, new_img):
+        """Feature refill — run after a keyframe step (host calls this when
+        out.accepted == 2, mirroring slam2.py:656-672)."""
+        return _refill(state, new_img, config, bump_group=True)
+
+    return step, refill_kf

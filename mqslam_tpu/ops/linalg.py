@@ -107,12 +107,14 @@ def eigh_jacobi(S, sweeps: int = 8):
     converges to f32 precision in <=6 sweeps. Runs fully batched — every
     rotation is an elementwise update over the batch, no LAPACK loop.
     """
+    import jax
+
     n = S.shape[-1]
-    A = S
-    V = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)
     # Static cyclic order of off-diagonal pivots.
     pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
-    for _ in range(sweeps):
+
+    def one_sweep(_, carry):
+        A, V = carry
         for (p, q) in pairs:
             app = A[..., p, p]
             aqq = A[..., q, q]
@@ -136,6 +138,12 @@ def eigh_jacobi(S, sweeps: int = 8):
             vq = V[..., :, q]
             V = V.at[..., :, p].set(c * vp - s * vq)
             V = V.at[..., :, q].set(s * vp + c * vq)
+        return A, V
+
+    V0 = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)
+    # One sweep per fori_loop iteration keeps the compiled graph small
+    # (unrolling sweeps x pairs made 12x12 solves minutes-long compiles).
+    A, V = jax.lax.fori_loop(0, sweeps, one_sweep, (S, V0))
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)

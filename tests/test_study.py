@@ -163,3 +163,54 @@ def test_finite_points_count():
     # infinite disc: w == 0
     inf = tc.infinite_points(4, math.pi / 4)
     assert np.all(inf[:, 3] == 0)
+
+
+def test_device_summary_path_matches_host_observation_path():
+    """The on-device noise synthesis (exact + sigma*Z basis, jnp.round) must
+    reproduce the host-drawn observation path (literal RandomState draws per
+    pose) — validates the seed-reset/Z-basis equivalence the fast path
+    relies on."""
+    import jax.numpy as jnp
+
+    params = tc.StudyParams()
+    points_h = tc.finite_points(3)
+    n = len(points_h)
+    cam1 = tc.StudyCamera(params.cam_resolution, params.cam_k1)
+    cam2 = tc.StudyCamera(params.cam_resolution, params.cam_k1)
+    P1 = tc.StudyCamera.pose(40.0)
+    P2s = [tc.StudyCamera.pose(40.0, 5.0), tc.StudyCamera.pose(40.0, 8.0)]
+
+    u1_host, u2_host, _ = tc._observations_for_poses(
+        cam1, cam2, P1, P2s, points_h, 0.8, True)
+
+    Z1, Z2 = tc._noise_basis(n)
+    exact1 = cam1.project_exact(points_h, P1)
+    exact2 = np.stack([cam2.project_exact(points_h, P2) for P2 in P2s])
+    u1_dev = np.rint(exact1[None, None] + 0.8 * Z1[None])
+    u1_dev = np.broadcast_to(u1_dev, u1_host.shape)
+    u2_dev = np.rint(exact2[:, None] + 0.8 * Z2[None])
+    np.testing.assert_array_equal(u1_dev, u1_host)
+    np.testing.assert_array_equal(u2_dev, u2_host)
+
+    # and the full device pipeline produces the same RMS curves as running
+    # _eval_all_methods on the host-drawn observations
+    dt = jnp.float32
+    res, inside = tc._eval_traj_summaries(
+        jnp.asarray(exact1, dt), jnp.asarray(exact2, dt),
+        jnp.asarray(Z1, dt), jnp.asarray(Z2, dt),
+        jnp.full((2,), 0.8, dt), jnp.asarray(P1, dt),
+        jnp.asarray(np.stack(P2s), dt)[:, None],
+        jnp.asarray(points_h[:, :3], dt), cam1.f, tuple(cam1.c), cam1.k1,
+        True)
+    u1n = tc._normalize_obs(u1_host, cam1.f, cam1.c, cam1.k1, jnp.dtype(dt))
+    u2n = tc._normalize_obs(u2_host, cam2.f, cam2.c, cam2.k1, jnp.dtype(dt))
+    ref = tc._eval_all_methods(
+        u1n, jnp.asarray(P1, dt), u2n,
+        jnp.asarray(np.stack(P2s), dt)[:, None],
+        jnp.asarray(points_h[:, :3], dt), jnp.zeros(n, bool),
+        cam1.f, tuple(cam1.c), cam1.k1)
+    for mi in range(4):
+        err3d = np.asarray(ref[mi][0], np.float64)
+        want = np.sqrt((err3d ** 2).sum(-1).reshape(2, -1).mean(1))
+        got = np.asarray(res[mi]["err3D_mean"], np.float64)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
