@@ -1,0 +1,122 @@
+"""Bundle adjustment vs the reference's checked-in GTSAM goldens."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mqslam_tpu.ba import problem as ba_problem, solver as ba_solver
+from mqslam_tpu.io import ba_info, tum, pcd
+
+EXAMPLE = "/root/reference/Work/SLAM/tools/bundle_adjustment/example"
+needs_ref = pytest.mark.skipif(not os.path.isdir(EXAMPLE),
+                               reason="reference example not mounted")
+
+
+@pytest.fixture(scope="module")
+def synthetic_problem():
+    data = ba_info.load_ba_data(EXAMPLE, "synthetic", nr_cameras=2, fps=1)
+    prob = ba_problem.problem_from_ba_data(data)
+    return data, prob
+
+
+@needs_ref
+class TestSyntheticCubeExample:
+    """The 2-camera cube-orbit scenario (GenerateData.hpp:79-306), solved by
+    the reference with GTSAM full LM; goldens under example/."""
+
+    def test_problem_structure(self, synthetic_problem):
+        data, prob = synthetic_problem
+        assert data.nr_cameras == 2
+        assert data.nr_steps == 20
+        assert int(prob.pose_valid.sum()) == 40
+        assert int(prob.point_valid.sum()) == 8
+        assert int(prob.obs_valid.sum()) > 300
+        # cross-camera "stereo" odometry factors exist
+        # (GenerateData.hpp:256-269)
+        f = np.asarray(prob.odo_from)[np.asarray(prob.odo_valid)]
+        t = np.asarray(prob.odo_to)[np.asarray(prob.odo_valid)]
+        S = data.nr_steps
+        cross = (f // S) != (t // S)
+        assert cross.sum() == 20
+
+    def test_lm_reduces_cost(self, synthetic_problem):
+        _, prob = synthetic_problem
+        v, history = ba_solver.lm_solve(prob, max_iters=15)
+        assert history[-1] < history[0] * 0.1
+        assert np.isfinite(history[-1])
+
+    def test_matches_gtsam_golden(self, synthetic_problem):
+        data, prob = synthetic_problem
+        v, history = ba_solver.lm_solve(prob, max_iters=20)
+        # compare optimized camera centers with the reference's -BA golden
+        S = data.nr_steps
+        for c in range(2):
+            golden = tum.load_trajectory(
+                os.path.join(EXAMPLE, f"traj_out.cam{c}-synthetic-BA.txt"))
+            noisy = tum.load_trajectory(
+                os.path.join(EXAMPLE, f"traj_out.cam{c}-synthetic.txt"))
+            ours = np.asarray(v.pose_t[c * S:(c + 1) * S])
+            err_ours = np.linalg.norm(ours - golden.locations, axis=1)
+            err_in = np.linalg.norm(noisy.locations - golden.locations,
+                                    axis=1)
+            # our optimum must sit much closer to GTSAM's optimum than the
+            # noisy input does
+            assert err_ours.mean() < 0.25 * err_in.mean(), (
+                c, err_ours.mean(), err_in.mean())
+
+        # landmarks: golden BA map vs ours
+        golden_map, _, _ = pcd.load_pcd(
+            os.path.join(EXAMPLE, "map_out-synthetic-BA.pcd"),
+            use_alpha=True)
+        noisy_map, _, _ = pcd.load_pcd(
+            os.path.join(EXAMPLE, "map_out-synthetic.pcd"), use_alpha=True)
+        ours_pts = np.asarray(v.points[:8])
+        err_ours = np.linalg.norm(ours_pts - golden_map[:8], axis=1)
+        err_in = np.linalg.norm(noisy_map[:8] - golden_map[:8], axis=1)
+        assert err_ours.mean() < 0.3 * max(err_in.mean(), 1e-3), (
+            err_ours, err_in)
+
+    def test_invalid_entries_not_touched(self, synthetic_problem):
+        _, prob = synthetic_problem
+        v, _ = ba_solver.lm_solve(prob, max_iters=3)
+        inv = ~np.asarray(prob.point_valid)
+        if inv.any():
+            np.testing.assert_array_equal(
+                np.asarray(v.points)[inv], np.asarray(prob.init.points)[inv])
+
+
+class TestSolverOnFrontendOutput:
+    """BA over our own front-end's dump (config #3 pipeline slice)."""
+
+    def test_ba_improves_synthetic_vo(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_frontend import (make_sequence, init_from_frame0, CAL, CFG)
+        from mqslam_tpu.frontend.runner import run_frontend
+        from mqslam_tpu.eval import ate
+        from mqslam_tpu.core import se3
+
+        rng = np.random.RandomState(3)
+        imgs, P_gt = make_sequence(rng, 12)
+        uv0, objp0 = init_from_frame0(imgs[0], P_gt[0])
+        res = run_frontend(imgs, CAL, CFG, uv0, objp0, fps=30.0)
+        prob = ba_problem.problem_from_ba_data(res.ba_data)
+        v, history = ba_solver.lm_solve(prob, max_iters=10)
+        assert history[-1] <= history[0]
+        # optimized trajectory still matches ground truth
+        q_gt, c_gt = se3.to_pose_tum(jnp.asarray(P_gt))
+        valid = np.asarray(prob.pose_valid)
+        ts = np.flatnonzero(valid) / 30.0
+        traj = tum.CamTrajectory(
+            ts, np.asarray(v.pose_t)[valid],
+            np.asarray(v.pose_r)[valid][:, [0, 1, 2]] * 0 + np.array(
+                [0, 0, 0.0]))  # quats unused by ATE
+        gt = tum.CamTrajectory(np.arange(len(P_gt)) / 30.0,
+                               np.asarray(c_gt), np.asarray(q_gt))
+        result = ate.evaluate_ate(
+            tum.CamTrajectory(traj.timestamps, traj.locations,
+                              np.tile([0, 0, 0, 1.0], (len(ts), 1))),
+            gt, max_difference=1e-3)
+        assert result.rmse < 0.03, result.rmse
