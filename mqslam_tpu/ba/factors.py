@@ -21,16 +21,31 @@ from mqslam_tpu.core import camera as cam_mod, so3
 from mqslam_tpu.core.smallmat import matmul_small, matvec_small
 
 __all__ = [
-    "obs_residual", "obs_residual_jac", "odo_residual", "odo_residual_jac",
+    "retract_single", "obs_residual", "obs_residual_jac",
+    "odo_residual", "odo_residual_jac",
     "prior_pose_residual", "prior_pose_residual_jac",
 ]
 
 
-def _obs_residual_single(pose6, point, uv, cal9, inv_sigma):
-    """Whitened pixel reprojection residual [2] for one observation."""
-    rvec, center = pose6[:3], pose6[3:]
-    R = so3.exp(rvec)                       # cam-to-world
-    Xc = matvec_small(R.T, point - center)  # world -> cam
+def retract_single(pose6, delta6):
+    """Manifold retraction: R' = R Exp(dr), c' = c + R dt (body-frame chart).
+
+    GTSAM optimizes Pose3 through a local chart, not additive axis-angle
+    coordinates; the chart matters for which basin LM lands in on weakly
+    constrained chains. Returns (R' [3,3], c' [3]).
+    """
+    R = so3.exp(pose6[:3])
+    Rn = matmul_small(R, so3.exp(delta6[:3]))
+    c = pose6[3:] + matvec_small(R, delta6[3:])
+    return Rn, c
+
+
+def _obs_residual_single(delta6, pose6, point, uv, cal9, inv_sigma):
+    """Whitened pixel reprojection residual [2] for one observation,
+    evaluated at a body-frame pose increment delta6 (zeros at the
+    linearization point)."""
+    R, center = retract_single(pose6, delta6)   # cam-to-world
+    Xc = matvec_small(R.T, point - center)      # world -> cam
     z = jnp.where(jnp.abs(Xc[2]) > 1e-9, Xc[2], 1e-9)
     xn = Xc[:2] / z
     cal = cam_mod.Cal3DS2.from_array(cal9)
@@ -42,36 +57,59 @@ def _obs_residual_single(pose6, point, uv, cal9, inv_sigma):
     return r
 
 
-obs_residual = jax.vmap(_obs_residual_single)
-obs_residual_jac = jax.vmap(jax.jacfwd(_obs_residual_single,
-                                       argnums=(0, 1)))
+def _zeros6_like(pose6):
+    return jnp.zeros_like(pose6)
 
 
-def _odo_residual_single(pose6_from, pose6_to, meas_r, meas_t, inv_sigma6):
+def obs_residual(p6, pts, uv, cal, inv_sig):
+    return jax.vmap(_obs_residual_single)(
+        jnp.zeros_like(p6), p6, pts, uv, cal, inv_sig)
+
+
+def obs_residual_jac(p6, pts, uv, cal, inv_sig):
+    """Jacobians wrt (body-frame pose increment, point)."""
+    return jax.vmap(jax.jacfwd(_obs_residual_single, argnums=(0, 2)))(
+        jnp.zeros_like(p6), p6, pts, uv, cal, inv_sig)
+
+
+def _odo_residual_single(df6, dt6, pose6_from, pose6_to, meas_r, meas_t,
+                         inv_sigma6):
     """Whitened BetweenFactor residual [6]: rot log + translation delta."""
-    Rf = so3.exp(pose6_from[:3])
-    Rt = so3.exp(pose6_to[:3])
+    Rf, cf = retract_single(pose6_from, df6)
+    Rt, ct = retract_single(pose6_to, dt6)
     Rd = matmul_small(Rf.T, Rt)
-    td = matvec_small(Rf.T, pose6_to[3:] - pose6_from[3:])
+    td = matvec_small(Rf.T, ct - cf)
     Rm = so3.exp(meas_r)
     r_rot = so3.log(matmul_small(Rm.T, Rd))
     r_tr = td - meas_t
     return jnp.concatenate([r_rot, r_tr]) * inv_sigma6
 
 
-odo_residual = jax.vmap(_odo_residual_single)
-odo_residual_jac = jax.vmap(jax.jacfwd(_odo_residual_single,
-                                       argnums=(0, 1)))
+def odo_residual(p6f, p6t, meas_r, meas_t, inv_sig):
+    z = jnp.zeros_like(p6f)
+    return jax.vmap(_odo_residual_single)(z, z, p6f, p6t, meas_r, meas_t,
+                                          inv_sig)
 
 
-def _prior_pose_residual_single(pose6, prior_r, prior_t, inv_sigma6):
+def odo_residual_jac(p6f, p6t, meas_r, meas_t, inv_sig):
+    z = jnp.zeros_like(p6f)
+    return jax.vmap(jax.jacfwd(_odo_residual_single, argnums=(0, 1)))(
+        z, z, p6f, p6t, meas_r, meas_t, inv_sig)
+
+
+def _prior_pose_residual_single(delta6, pose6, prior_r, prior_t, inv_sigma6):
     Rp = so3.exp(prior_r)
-    R = so3.exp(pose6[:3])
+    R, c = retract_single(pose6, delta6)
     r_rot = so3.log(matmul_small(Rp.T, R))
-    r_tr = pose6[3:] - prior_t
+    r_tr = c - prior_t
     return jnp.concatenate([r_rot, r_tr]) * inv_sigma6
 
 
-prior_pose_residual = jax.vmap(_prior_pose_residual_single)
-prior_pose_residual_jac = jax.vmap(jax.jacfwd(_prior_pose_residual_single,
-                                              argnums=0))
+def prior_pose_residual(p6, prior_r, prior_t, inv_sig):
+    return jax.vmap(_prior_pose_residual_single)(
+        jnp.zeros_like(p6), p6, prior_r, prior_t, inv_sig)
+
+
+def prior_pose_residual_jac(p6, prior_r, prior_t, inv_sig):
+    return jax.vmap(jax.jacfwd(_prior_pose_residual_single, argnums=0))(
+        jnp.zeros_like(p6), p6, prior_r, prior_t, inv_sig)

@@ -174,21 +174,18 @@ def _pose_from_words(words):
 
 
 def _pose_from_vals(vals):
-    import jax.numpy as jnp
-    from mqslam_tpu.core import quat as quat_mod
+    from mqslam_tpu.io.nputil import quat_to_matrix_np
     t = np.array(vals[0:3])
     q = np.array(vals[3:7])
-    R = np.asarray(quat_mod.to_matrix(quat_mod.normalize(jnp.asarray(q))))
     P = np.eye(4)
-    P[:3, :3] = R
+    P[:3, :3] = quat_to_matrix_np(q)
     P[:3, 3] = t
     return P
 
 
 def _pose_to_words(P):
-    import jax.numpy as jnp
-    from mqslam_tpu.core import quat as quat_mod
-    q = np.asarray(quat_mod.from_matrix(jnp.asarray(P[:3, :3])))
+    from mqslam_tpu.io.nputil import matrix_to_quat_np
+    q = matrix_to_quat_np(P[:3, :3])
     t = P[:3, 3]
     return list(map(float, t)) + list(map(float, q))
 

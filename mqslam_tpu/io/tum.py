@@ -69,18 +69,23 @@ def trajectory_from_extrinsics(timestamps, P) -> CamTrajectory:
     Semantics of dataset_tools.py:275-294 (convert_cam_poses_to_cam_
     trajectory_TUM); NumPy-side convenience over core.se3.to_pose_tum.
     """
-    import jax.numpy as jnp
-    from mqslam_tpu.core import se3
-    q, c = se3.to_pose_tum(jnp.asarray(P))
-    return CamTrajectory(np.asarray(timestamps, dtype=np.float64),
-                         np.asarray(c, dtype=np.float64),
-                         np.asarray(q, dtype=np.float64))
+    from mqslam_tpu.io.nputil import matrix_to_quat_np
+    P = np.asarray(P, dtype=np.float64)
+    Rcw = np.swapaxes(P[..., :3, :3], -1, -2)
+    c = -np.einsum("...ij,...j->...i", Rcw, P[..., :3, 3])
+    q = matrix_to_quat_np(Rcw)
+    return CamTrajectory(np.asarray(timestamps, dtype=np.float64), c, q)
 
 
 def extrinsics_from_trajectory(traj: CamTrajectory):
     """TUM trajectory -> 4x4 extrinsics [N, 4, 4] (world-to-cam)."""
-    import jax.numpy as jnp
-    from mqslam_tpu.core import se3
-    P = se3.from_pose_tum(jnp.asarray(traj.quaternions),
-                          jnp.asarray(traj.locations))
-    return np.asarray(P)
+    from mqslam_tpu.io.nputil import quat_to_matrix_np
+    Rcw = quat_to_matrix_np(traj.quaternions)
+    R = np.swapaxes(Rcw, -1, -2)
+    t = -np.einsum("...ij,...j->...i", R,
+                   np.asarray(traj.locations, dtype=np.float64))
+    n = len(traj.timestamps)
+    P = np.tile(np.eye(4), (n, 1, 1))
+    P[:, :3, :3] = R
+    P[:, :3, 3] = t
+    return P

@@ -120,3 +120,33 @@ class TestSolverOnFrontendOutput:
                               np.tile([0, 0, 0, 1.0], (len(ts), 1))),
             gt, max_difference=1e-3)
         assert result.rmse < 0.03, result.rmse
+
+
+@needs_ref
+class TestRealDataSVO:
+    """Config #3 headline: BA over the reference's real SVO slam2 dump must
+    reach the published accuracy class (results_ate-slam2-BA.txt: 0.021598;
+    front-end-only: 0.395356)."""
+
+    def test_ba_reaches_reference_accuracy(self):
+        import jax.numpy as jnp
+        from mqslam_tpu.eval import ate as ate_mod
+        from mqslam_tpu.core import so3, quat
+
+        SVO = ("/root/reference/Work/SLAM/datasets/SVO/sin2_tex2_h1_v8_d")
+        data = ba_info.load_ba_data(SVO, "slam2", nr_cameras=1, fps=50)
+        prob = ba_problem.problem_from_ba_data(data)
+        # the reference's documented BA invocation disables odometry factors
+        # (bundle_adjust ... useOdometry=0, bundle_adjustment/ReadMe.txt)
+        prob = prob._replace(odo_valid=jnp.zeros_like(prob.odo_valid))
+        v, hist = ba_solver.lm_solve(prob, max_iters=40, cg_iters=1500,
+                                     cg_tol=1e-10)
+        gt = tum.load_trajectory(os.path.join(SVO, "traj_groundtruth.txt"))
+        valid = np.asarray(prob.pose_valid)
+        ts = (np.flatnonzero(valid) + 1) / 50.0
+        R = so3.exp(jnp.asarray(np.asarray(v.pose_r)[valid]))
+        q = np.asarray(quat.from_matrix(R))
+        traj = tum.CamTrajectory(ts, np.asarray(v.pose_t)[valid], q)
+        res = ate_mod.evaluate_ate(traj, gt, max_difference=0.011)
+        # published: 0.021598 (BA), 0.395356 (front-end input)
+        assert res.rmse < 0.05, res.rmse
