@@ -113,8 +113,12 @@ def compute_cost(problem: BAProblem, v: BAVariables):
                   + jnp.sum(r_pp ** 2) + jnp.sum(r_qp ** 2))
 
 
-@jax.jit
-def linearize(problem: BAProblem, v: BAVariables) -> Linearization:
+@partial(jax.jit, static_argnames=("axis_name",))
+def linearize(problem: BAProblem, v: BAVariables,
+              axis_name: str = None) -> Linearization:
+    """Linearize all factors. With ``axis_name`` set (inside shard_map), the
+    observation arrays are device-sharded: their segment-sums are partial and
+    get psum'ed over the mesh axis; odometry/prior terms are replicated."""
     F = problem.n_poses
     P = problem.n_points
     p6 = _pose6(v)
@@ -148,14 +152,24 @@ def linearize(problem: BAProblem, v: BAVariables) -> Linearization:
     r_qp = (v.points[problem.prior_point_idx]
             - problem.prior_point_xyz) * inv_qp[:, None]
 
-    cost = 0.5 * (jnp.sum(r_obs ** 2) + jnp.sum(r_odo ** 2)
-                  + jnp.sum(r_pp ** 2) + jnp.sum(r_qp ** 2))
+    # observation partial aggregates (sharded under shard_map)
+    cost_obs = 0.5 * jnp.sum(r_obs ** 2)
+    g_pose_obs = segment_sum(_JTr(Jp6, r_obs), problem.obs_pose,
+                             num_segments=F)
+    g_point_obs = segment_sum(_JTr(Jpt, r_obs), problem.obs_point,
+                              num_segments=P)
+    Hpp_obs = segment_sum(_JTJ(Jpt), problem.obs_point, num_segments=P)
+    diag_obs = segment_sum(_JTJ_diag(Jp6), problem.obs_pose, num_segments=F)
+    if axis_name is not None:
+        cost_obs, g_pose_obs, g_point_obs, Hpp_obs, diag_obs = jax.lax.psum(
+            (cost_obs, g_pose_obs, g_point_obs, Hpp_obs, diag_obs),
+            axis_name)
+
+    cost = cost_obs + 0.5 * (jnp.sum(r_odo ** 2) + jnp.sum(r_pp ** 2)
+                             + jnp.sum(r_qp ** 2))
 
     # gradients g = J^T r
-    g_pose = segment_sum(
-        _JTr(Jp6, r_obs), problem.obs_pose,
-        num_segments=F)
-    g_pose = g_pose + segment_sum(
+    g_pose = g_pose_obs + segment_sum(
         _JTr(Jof, r_odo), problem.odo_from,
         num_segments=F)
     g_pose = g_pose + segment_sum(
@@ -164,28 +178,21 @@ def linearize(problem: BAProblem, v: BAVariables) -> Linearization:
     g_pose = g_pose + segment_sum(
         _JTr(Jpp, r_pp), problem.prior_pose_idx,
         num_segments=F)
-    g_point = segment_sum(
-        _JTr(Jpt, r_obs), problem.obs_point,
-        num_segments=P)
-    g_point = g_point + segment_sum(
+    g_point = g_point_obs + segment_sum(
         r_qp * jnp.where(problem.prior_point_valid,
                          1.0 / jnp.maximum(problem.prior_point_sigma,
                                            1e-12), 0.0)[:, None],
         problem.prior_point_idx, num_segments=P)
 
     # point blocks Hpp (incl. point priors) and pose diagonal
-    Hpp = segment_sum(_JTJ(Jpt),
-                      problem.obs_point, num_segments=P)
     w_qp = jnp.where(problem.prior_point_valid,
                      1.0 / jnp.maximum(problem.prior_point_sigma, 1e-12),
                      0.0) ** 2
-    Hpp = Hpp + segment_sum(
+    Hpp = Hpp_obs + segment_sum(
         w_qp[:, None, None] * jnp.eye(3)[None], problem.prior_point_idx,
         num_segments=P)
 
-    diag_pose = segment_sum(_JTJ_diag(Jp6),
-                            problem.obs_pose, num_segments=F)
-    diag_pose = diag_pose + segment_sum(
+    diag_pose = diag_obs + segment_sum(
         _JTJ_diag(Jof), problem.odo_from,
         num_segments=F)
     diag_pose = diag_pose + segment_sum(
@@ -207,12 +214,14 @@ def linearize(problem: BAProblem, v: BAVariables) -> Linearization:
         diag_pose=diag_pose, pose_free=pose_free, point_free=point_free)
 
 
-def _hcc_apply(problem: BAProblem, lin: Linearization, v):
+def _hcc_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
     """v [F, 6] -> Hcc v (projection + odometry + prior parts, undamped)."""
     F = problem.n_poses
     y = _Jv(lin.J_obs_pose, v[problem.obs_pose])
     out = segment_sum(_JTr(lin.J_obs_pose, y),
                       problem.obs_pose, num_segments=F)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
     yo = (_Jv(lin.J_odo_from, v[problem.odo_from])
           + _Jv(lin.J_odo_to, v[problem.odo_to]))
     out = out + segment_sum(_JTr(lin.J_odo_from, yo),
@@ -225,23 +234,30 @@ def _hcc_apply(problem: BAProblem, lin: Linearization, v):
     return out
 
 
-def _w_t_apply(problem: BAProblem, lin: Linearization, v):
+def _w_t_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
     """v [F, 6] -> Hpc v = W^T v [P, 3]."""
     z = _Jv(lin.J_obs_pose, v[problem.obs_pose])
-    return segment_sum(_JTr(lin.J_obs_point, z),
-                       problem.obs_point, num_segments=problem.n_points)
+    out = segment_sum(_JTr(lin.J_obs_point, z),
+                      problem.obs_point, num_segments=problem.n_points)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
-def _w_apply(problem: BAProblem, lin: Linearization, u):
+def _w_apply(problem: BAProblem, lin: Linearization, u, axis_name=None):
     """u [P, 3] -> Hcp u = W u [F, 6]."""
     w = _Jv(lin.J_obs_point, u[problem.obs_point])
-    return segment_sum(_JTr(lin.J_obs_pose, w),
-                       problem.obs_pose, num_segments=problem.n_poses)
+    out = segment_sum(_JTr(lin.J_obs_pose, w),
+                      problem.obs_pose, num_segments=problem.n_poses)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
-@partial(jax.jit, static_argnames=("cg_iters",))
+@partial(jax.jit, static_argnames=("cg_iters", "axis_name"))
 def solve_delta(problem: BAProblem, lin: Linearization, lam,
-                cg_iters: int = 100, cg_tol: float = 1e-6):
+                cg_iters: int = 100, cg_tol: float = 1e-6,
+                axis_name: str = None):
     """Solve the damped normal equations for (delta_pose, delta_point)."""
     pose_mask = lin.pose_free[:, None].astype(jnp.float32)
     point_mask = lin.point_free[:, None].astype(jnp.float32)
@@ -258,13 +274,16 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
 
     def B_apply(vv):
         vv = vv * pose_mask
-        hv = _hcc_apply(problem, lin, vv) + (lam * jnp.maximum(
+        hv = _hcc_apply(problem, lin, vv, axis_name) + (lam * jnp.maximum(
             lin.diag_pose, 1e-12)) * vv
-        corr = _w_apply(problem, lin, hpp_solve(_w_t_apply(problem, lin, vv)))
+        corr = _w_apply(problem, lin,
+                        hpp_solve(_w_t_apply(problem, lin, vv, axis_name)),
+                        axis_name)
         return (hv - corr) * pose_mask
 
     # reduced RHS: -g_c + W Hpp^-1 g_p
-    b = (-lin.g_pose + _w_apply(problem, lin, hpp_solve(lin.g_point)))
+    b = (-lin.g_pose + _w_apply(problem, lin, hpp_solve(lin.g_point),
+                                axis_name))
     b = b * pose_mask
 
     # Jacobi preconditioner from the damped pose diagonal
@@ -297,7 +316,8 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
 
     # back-substitute landmarks: dp = -Hpp^-1 (g_p + W^T dc)
     delta_point = -hpp_solve(lin.g_point
-                             + _w_t_apply(problem, lin, delta_pose))
+                             + _w_t_apply(problem, lin, delta_pose,
+                                          axis_name))
     return delta_pose, delta_point
 
 

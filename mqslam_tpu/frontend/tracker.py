@@ -311,3 +311,32 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         return _refill(state, new_img, config, bump_group=True)
 
     return step, refill_kf
+
+
+def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
+    """Whole-sequence jitted runner: lax.scan of step (+ conditional keyframe
+    refill) over a device-resident image stack — the pure-device throughput
+    path used by bench.py (no per-frame host round-trips).
+
+    Returns jitted fn: (state, imgs [T+1, H, W]) -> (final_state,
+    per-frame (accepted, rvec, tvec)).
+    """
+    step, refill_kf = make_step(cal, config)
+
+    @jax.jit
+    def run(state: TrackerState, imgs):
+        def body(carry, idx):
+            state = carry
+            prev_img = imgs[idx]
+            new_img = imgs[idx + 1]
+            state, out = step(state, prev_img, new_img)
+            state = jax.lax.cond(out.accepted == 2,
+                                 lambda s: _refill(s, new_img, config),
+                                 lambda s: s, state)
+            return state, (out.accepted, out.rvec, out.tvec)
+
+        n = imgs.shape[0] - 1
+        state, outs = jax.lax.scan(body, state, jnp.arange(n))
+        return state, outs
+
+    return run

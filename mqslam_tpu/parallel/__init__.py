@@ -1,0 +1,14 @@
+"""Mesh sharding of the BA solve: factors over devices, psum assembly.
+
+The distributed layer has no counterpart in the reference (a single-process
+Python 2 pipeline, SURVEY.md §2.11); its semantics come from the
+multi-camera factor-graph data model. Observations (projection factors) are
+sharded across a jax Mesh axis; pose/landmark states are replicated; the
+Schur-complement reduced camera system is assembled with psum collectives
+over ICI — each CG iteration moves only O(poses + landmarks) per device,
+never per-observation data.
+"""
+
+from mqslam_tpu.parallel.sharded_ba import (  # noqa: F401
+    make_sharded_lm_iteration, shard_problem_for_mesh, sharded_lm_solve,
+)

@@ -1,0 +1,140 @@
+"""Sharded bundle adjustment over a jax.sharding.Mesh.
+
+One LM iteration (linearize + Schur-CG solve) runs inside a single shard_map
+region: the projection-factor arrays are split along the mesh's ``data``
+axis, every segment-sum over poses/landmarks becomes a partial sum followed
+by a psum over ICI, and the CG loop itself iterates on fully-replicated
+[F, 6] pose vectors, so per-iteration collective traffic is O(poses +
+landmarks) — independent of the number of observations per device.
+
+Multi-agent mapping: each agent's (camera's) factors are just rows of the
+same observation arrays (the flattened cam*S+frame pose indexing), so
+cross-agent joint BA shards identically — agents' factors interleave over
+devices and the shared reduced camera system is assembled by the same psums
+(configs #4/#5 of BASELINE.json).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mqslam_tpu.ba import solver as ba_solver
+from mqslam_tpu.ba.problem import BAProblem, BAVariables
+
+__all__ = ["shard_problem_for_mesh", "make_sharded_lm_iteration",
+           "sharded_lm_solve"]
+
+_OBS_FIELDS = ("obs_uv", "obs_pose", "obs_cam", "obs_point", "obs_sigma",
+               "obs_valid")
+
+
+def _obs_spec(axis: str):
+    """PartitionSpec pytree matching BAProblem: obs arrays sharded, rest
+    replicated."""
+    specs = {}
+    for field in BAProblem._fields:
+        specs[field] = P(axis) if field in _OBS_FIELDS else P()
+    init_spec = BAVariables(P(), P(), P())
+    specs["init"] = init_spec
+    return BAProblem(**specs)
+
+
+def shard_problem_for_mesh(problem: BAProblem, mesh: Mesh,
+                           axis: str = "data") -> BAProblem:
+    """Pad the observation arrays to a multiple of the mesh axis size and
+    place them with the sharded layout (other leaves replicated)."""
+    n = mesh.shape[axis]
+    O = problem.obs_uv.shape[0]
+    O_pad = ((O + n - 1) // n) * n
+    if O_pad != O:
+        pad = O_pad - O
+
+        def pad0(a):
+            cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, cfg)
+
+        problem = problem._replace(
+            **{f: pad0(getattr(problem, f)) for f in _OBS_FIELDS})
+        # padded observations must be inert
+        problem = problem._replace(
+            obs_valid=problem.obs_valid.at[O:].set(False),
+            obs_sigma=problem.obs_sigma.at[O:].set(1.0))
+    specs = _obs_spec(axis)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        problem, specs)
+
+
+def make_sharded_lm_iteration(mesh: Mesh, cg_iters: int = 200,
+                              cg_tol: float = 1e-10, axis: str = "data"):
+    """Build the jitted sharded LM iteration
+    (problem, vars, lam) -> (delta_pose, delta_point, cost)."""
+    specs = _obs_spec(axis)
+    var_spec = BAVariables(P(), P(), P())
+
+    def _iteration(problem, v, lam):
+        lin = ba_solver.linearize(problem, v, axis_name=axis)
+        dc, dp = ba_solver.solve_delta(problem, lin, lam,
+                                       cg_iters=cg_iters, cg_tol=cg_tol,
+                                       axis_name=axis)
+        return dc, dp, lin.cost
+
+    sharded = jax.shard_map(
+        _iteration, mesh=mesh,
+        in_specs=(specs, var_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def _sharded_cost(mesh: Mesh, axis: str = "data"):
+    specs = _obs_spec(axis)
+    var_spec = BAVariables(P(), P(), P())
+
+    def _cost(problem, v):
+        r_obs, r_odo, r_pp, r_qp = ba_solver._residuals(problem, v)
+        c_obs = jax.lax.psum(0.5 * jnp.sum(r_obs ** 2), axis)
+        return c_obs + 0.5 * (jnp.sum(r_odo ** 2) + jnp.sum(r_pp ** 2)
+                              + jnp.sum(r_qp ** 2))
+
+    return jax.jit(jax.shard_map(_cost, mesh=mesh,
+                                 in_specs=(specs, var_spec),
+                                 out_specs=P(), check_vma=False))
+
+
+def sharded_lm_solve(problem: BAProblem, mesh: Mesh, max_iters: int = 40,
+                     lam0: float = 1e-6, cg_iters: int = 1000,
+                     axis: str = "data", verbose: bool = False):
+    """LM outer loop over the sharded iteration (host accept/reject).
+
+    Semantics match ba.solver.lm_solve; computation shards over ``mesh``.
+    """
+    problem = shard_problem_for_mesh(problem, mesh, axis)
+    lm_iter = make_sharded_lm_iteration(mesh, cg_iters=cg_iters, axis=axis)
+    cost_fn = _sharded_cost(mesh, axis)
+
+    v = problem.init
+    lam = lam0
+    cost = float(cost_fn(problem, v))
+    history = [cost]
+    for it in range(max_iters):
+        improved = False
+        for _ in range(6):
+            dc, dp, _ = lm_iter(problem, v, jnp.float32(lam))
+            v_try = ba_solver.apply_delta(v, dc, dp)
+            nc = float(cost_fn(problem, v_try))
+            if nc < cost:
+                v, cost = v_try, nc
+                lam = max(lam / 2.0, 1e-9)
+                improved = True
+                break
+            lam = min(lam * 8.0, 1e6)
+        history.append(cost)
+        if verbose:
+            print(f"sharded LM iter {it}: cost={cost:.6e} lam={lam:.2e}")
+        if not improved:
+            break
+    return v, history
