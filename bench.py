@@ -11,10 +11,25 @@ pipeline's per-frame work (Work/SLAM/application/own/slam2.py:360-695).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the first run pays the (remote) compiles,
+# subsequent bench invocations start from cached executables.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".cache", "jax"))
+
+
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0):
@@ -41,6 +56,12 @@ def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0):
 def bench_tpu(imgs, P_list, f, size, plane_z, repeats=3):
     import jax
     import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+    _log(f"backend: {jax.default_backend()}")
     from mqslam_tpu.core import camera as cam_mod
     from mqslam_tpu.frontend import synthetic, tracker as trk
     from mqslam_tpu.ops import features
@@ -54,12 +75,15 @@ def bench_tpu(imgs, P_list, f, size, plane_z, repeats=3):
     objp = synthetic.backproject_to_plane(uv, P_list[0], f,
                                           (size[0] / 2, size[1] / 2),
                                           plane_z)
+    _log("corners detected; bootstrapping")
     state = trk.bootstrap(uv.astype(np.float32), objp.astype(np.float32),
                           cal, imgs[0], config, jax.random.PRNGKey(0))
     run = trk.make_scan_runner(cal, config)
     imgs_dev = jnp.asarray(imgs)
+    _log("bootstrap done; compiling scan runner")
     # compile + warmup
     out = jax.block_until_ready(run(state, imgs_dev))
+    _log("scan compiled; timing")
     n = imgs.shape[0] - 1
     best = np.inf
     for _ in range(repeats):
@@ -114,7 +138,9 @@ def bench_opencv_baseline(imgs, P_list, f, size, plane_z):
 
 
 def main():
+    _log("rendering synthetic sequence")
     imgs, P_list, f, size, plane_z = build_sequence()
+    _log("sequence ready")
     fps, n_ok, n = bench_tpu(imgs, P_list, f, size, plane_z)
     base = bench_opencv_baseline(imgs, P_list, f, size, plane_z)
     if base is None:

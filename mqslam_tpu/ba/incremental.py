@@ -1,0 +1,127 @@
+"""Step-batched incremental bundle adjustment.
+
+Replicates the step semantics of the reference's incremental modes
+(reference: bundle_adjust.cpp:245-366 performBundleAdjustment with
+iSAM1/iSAM2): factors and variables activate step by step, newly-activated
+variables start from the front-end estimates while already-active ones keep
+their optimized values, and a few damped-GN iterations run per step (the
+iSAM update role). A full-batch LM runs when the second landmark batch
+arrives (fullOptimizeAtSecondPoints3DBatch, :320-329).
+
+TPU shape: ONE padded problem with per-element activation steps; per-step
+masking is traced data, so the whole incremental run reuses a single
+compiled (linearize, solve) pair — no recompilation as the graph grows.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mqslam_tpu.ba import solver as bs
+from mqslam_tpu.ba.problem import BAProblem
+
+__all__ = ["activation_steps", "incremental_solve"]
+
+
+def activation_steps(data, problem: BAProblem):
+    """(obs_step [O], odo_step [Q], pose_step [F], point_step [P]) int arrays:
+    the step at which each factor/variable enters the graph."""
+    C = data.nr_cameras
+    S = data.nr_steps
+    NEVER = np.iinfo(np.int32).max
+
+    pose_valid = np.asarray(problem.pose_valid)
+    point_valid = np.asarray(problem.point_valid)
+    P_n = len(data.points3D)
+
+    obs_steps = []
+    for c in range(C):
+        for s in range(min(S, len(data.point2D3D_assocs[c]))):
+            for (f_idx, p2d, p3d) in data.point2D3D_assocs[c][s]:
+                f_idx, p3d = int(f_idx), int(p3d)
+                if f_idx >= S or not pose_valid[c * S + f_idx]:
+                    continue
+                if p3d >= P_n or not point_valid[p3d]:
+                    continue
+                obs_steps.append(s)
+    O = problem.obs_uv.shape[0]
+    obs_step = np.full(O, NEVER, np.int32)
+    obs_step[:len(obs_steps)] = obs_steps
+
+    odo_steps = []
+    for s in range(min(S, len(data.odometry_assocs))):
+        for (fc, ff, tc, tf) in data.odometry_assocs[s]:
+            if ff >= S or tf >= S:
+                continue
+            if not (pose_valid[fc * S + ff] and pose_valid[tc * S + tf]):
+                continue
+            odo_steps.append(s)
+    Q = problem.odo_r.shape[0]
+    odo_step = np.full(Q, NEVER, np.int32)
+    odo_step[:len(odo_steps)] = odo_steps
+
+    F = problem.n_poses
+    pose_step = np.array([f % S for f in range(F)], np.int32)
+
+    point_step = np.full(problem.n_points, NEVER, np.int32)
+    for s in range(S):
+        for idx in data.point3D_added_idxs[s]:
+            if idx < problem.n_points:
+                point_step[idx] = s
+    return (jnp.asarray(obs_step), jnp.asarray(odo_step),
+            jnp.asarray(pose_step), jnp.asarray(point_step))
+
+
+def incremental_solve(data, problem: BAProblem, use_odometry=True,
+                      iters_per_step=2, full_lm_iters=10,
+                      cg_iters=300, lam0=1e-4, verbose=False):
+    """Run the step-batched incremental BA. Returns (variables, cost_history).
+
+    Mirrors the reference's control flow: full LM when the second landmark
+    batch appears (and at the final step), incremental updates otherwise.
+    """
+    obs_step, odo_step, pose_step, point_step = activation_steps(data,
+                                                                 problem)
+    S = data.nr_steps
+    base_odo_valid = problem.odo_valid if use_odometry else \
+        jnp.zeros_like(problem.odo_valid)
+
+    def masked(s):
+        return problem._replace(
+            obs_valid=problem.obs_valid & (obs_step <= s),
+            odo_valid=base_odo_valid & (odo_step <= s),
+            pose_valid=problem.pose_valid & (pose_step <= s),
+            point_valid=problem.point_valid & (point_step <= s))
+
+    # steps with new landmark batches (for the full-LM trigger)
+    batch_steps = [s for s in range(S) if data.point3D_added_idxs[s]]
+    second_batch = batch_steps[1] if len(batch_steps) > 1 else None
+
+    v = problem.init
+    lam = lam0
+    cost = None
+    history = []
+    for s in range(S):
+        ps = masked(s)
+        n_iters = full_lm_iters if (s == second_batch or s == S - 1) \
+            else iters_per_step
+        cost = float(bs.compute_cost(ps, v))
+        for _ in range(n_iters):
+            lin = bs.linearize(ps, v)
+            accepted = False
+            for _ in range(5):
+                dc, dp = bs.solve_delta(ps, lin, jnp.float32(lam),
+                                        cg_iters=cg_iters, cg_tol=1e-10)
+                v_try = bs.apply_delta(v, dc, dp)
+                nc = float(bs.compute_cost(ps, v_try))
+                if nc < cost:
+                    v, cost = v_try, nc
+                    lam = max(lam / 2.0, 1e-9)
+                    accepted = True
+                    break
+                lam = min(lam * 8.0, 1e6)
+            if not accepted:
+                break
+        history.append(cost)
+        if verbose and (s % 10 == 0 or s == S - 1):
+            print(f"incremental step {s}: cost={cost:.4e}")
+    return v, history

@@ -1,0 +1,101 @@
+"""Headless SLAM front-end runner: image directory -> TUM trajectory + PCD map
+(+ optional BA_info dump).
+
+CLI role of the reference's slam2 main (reference: Work/SLAM/application/own/
+slam2.py:868-1018 argument surface, :1021-1253 main loop) and of the headless
+SVO driver (Work/SLAM/application/SVO/run_pipeline.cpp:266-309).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("img_dir", help="directory with the image sequence")
+    ap.add_argument("cam_intrinsics_file",
+                    help="camera_intrinsics.txt (reference wire format)")
+    ap.add_argument("--init-pose", dest="init_pose", default=None,
+                    help="init_pose.txt: TUM line(s) with the first pose")
+    ap.add_argument("--init-points", dest="init_points", default=None,
+                    help="init_points.pcd with known 3D points visible in "
+                         "frame 0")
+    ap.add_argument("--traj-out", default="traj_out.cam0-mqslam.txt")
+    ap.add_argument("--map-out", default="map_out-mqslam.pcd")
+    ap.add_argument("--ba-info-dir", default=None,
+                    help="directory to write the BA_info.* dump into")
+    ap.add_argument("--ba-name", default="mqslam")
+    ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--max-tracks", type=int, default=384)
+    ap.add_argument("--target-keypoints", type=int, default=300)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.core import camera as cam_mod, se3, so3
+    from mqslam_tpu.frontend import tracker as trk
+    from mqslam_tpu.frontend.runner import run_frontend
+    from mqslam_tpu.io import images, intrinsics, pcd, tum, ba_info
+
+    K, dist, size = intrinsics.load_camera_intrinsics(
+        args.cam_intrinsics_file)
+    cal = cam_mod.cal_from_K_dist(jnp.asarray(K, jnp.float32),
+                                  jnp.asarray(dist, jnp.float32))
+    paths = images.image_filepaths_by_directory(args.img_dir)
+    if args.max_frames:
+        paths = paths[:args.max_frames]
+    if not paths:
+        print(f"No images found in {args.img_dir}", file=sys.stderr)
+        return 1
+    if not args.quiet:
+        print(f"{len(paths)} frames; intrinsics fx={K[0,0]:.2f} "
+              f"fy={K[1,1]:.2f}")
+
+    if not (args.init_pose and args.init_points):
+        print("Chessboard bootstrap is not wired into the CLI yet; provide "
+              "--init-pose/--init-points (the SVO-style initialization, "
+              "svo_initialization.py).", file=sys.stderr)
+        return 1
+
+    # init pose (TUM row) + init 3D points; project to get frame-0 2D points
+    init = tum.load_trajectory(args.init_pose)
+    P0 = tum.extrinsics_from_trajectory(init)[0]
+    pts3d, _, _ = pcd.load_pcd(args.init_points)
+    uv0, depth = cam_mod.project(jnp.asarray(pts3d, jnp.float32),
+                                 jnp.asarray(P0, jnp.float32), cal)
+    ok = np.asarray(depth) > 0
+    uv0 = np.asarray(uv0)[ok]
+    pts3d = pts3d[ok]
+
+    config = trk.TrackerConfig(max_tracks=args.max_tracks,
+                               target_keypoints=args.target_keypoints)
+    res = run_frontend(images.iter_images_gray(args.img_dir)
+                       if not args.max_frames else
+                       (images.load_image_gray(p) for p in paths),
+                       cal, config, uv0.astype(np.float32),
+                       pts3d.astype(np.float32), fps=args.fps,
+                       collect_ba=args.ba_info_dir is not None,
+                       verbose=not args.quiet)
+
+    tum.save_trajectory(args.traj_out, res.trajectory)
+    gray = np.clip(res.point_colors, 0, 255).astype(np.uint8)
+    colors = np.stack([gray, gray, gray], axis=1)
+    pcd.save_pcd(args.map_out, res.points3d, colors)
+    if args.ba_info_dir:
+        ba_info.save_ba_data(args.ba_info_dir, args.ba_name, res.ba_data)
+    n_acc = sum(1 for a in res.accepted if a > 0)
+    print(f"done: {n_acc}/{len(res.accepted)} frames accepted, "
+          f"{res.n_keyframes} keyframes, {len(res.points3d)} landmarks -> "
+          f"{args.traj_out}, {args.map_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
