@@ -1,16 +1,20 @@
-"""Pyramidal Lucas-Kanade sparse optical flow.
+"""Pyramidal Lucas-Kanade sparse optical flow (patch/matmul formulation).
 
 Replaces ``cv2.calcOpticalFlowPyrLK`` with the defaults the reference's
 front-end relies on (reference: Work/SLAM/application/own/slam2.py:381):
-21x21 window, 3 pyramid levels (maxLevel=2), <=30 Newton iterations with
-eps=0.01, min-eigenvalue rejection at 1e-4 (on 0..255 intensity scale), and
-``err`` = mean absolute window intensity difference — the value slam2 gates
-at max_OF_error=12 (slam2.py:382-385).
+21x21 window, 3 pyramid levels, <=30 Newton iterations with eps=0.01,
+min-eigenvalue rejection at 1e-4 (0..255 intensity scale), ``err`` = mean
+absolute window intensity difference (gated at max_OF_error=12,
+slam2.py:382-385).
 
-TPU shape: every track is a lane — window gathers are batched bilinear
-samples (structure-of-arrays), the 2x2 normal systems solve in closed form,
-and the level/iteration loops are fixed-trip-count with per-track convergence
-freezing. Images are [H, W] float32 in 0..255.
+TPU-first design: a naive per-sample gather formulation moves ~80M randomly
+indexed elements per frame and ran at ~0.5 s/frame on a v5e. Instead, each
+track extracts one square patch per pyramid level (vmapped dynamic_slice —
+contiguous rows), and every bilinear window sample inside the iteration loop
+becomes ``Wy @ patch @ Wx^T`` with banded interpolation matrices built
+elementwise from the fractional offset — all MXU matmuls and VPU arithmetic,
+zero gathers in the loop. The window anchor is the level's initial flow
+guess, so the per-level residual displacement stays within the patch margin.
 """
 
 from functools import partial
@@ -22,6 +26,8 @@ from mqslam_tpu.ops import linalg
 
 __all__ = ["build_pyramid", "lk_track", "bilinear_sample"]
 
+_HP = jax.lax.Precision.HIGHEST
+
 
 def _pyrdown(img):
     """5x5 binomial blur + 2x decimation (cv2.pyrDown kernel)."""
@@ -29,12 +35,10 @@ def _pyrdown(img):
     img = jnp.pad(img, ((2, 2), (2, 2)), mode="reflect")
     img = jax.lax.conv_general_dilated(
         img[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_HP)
     img = jax.lax.conv_general_dilated(
         img, k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_HP)
     return img[0, 0, ::2, ::2]
 
 
@@ -47,10 +51,10 @@ def build_pyramid(img, levels: int = 3):
 
 
 def bilinear_sample(img, xy):
-    """Bilinear sample img [H, W] at xy [..., 2] (x, y) with edge clamping.
+    """Bilinear sample img [H, W] at xy [..., 2] (x, y), edge-clamped.
 
-    Returns values [...]. Coordinates are pixel-centered (0, 0) = top-left
-    pixel center, matching OpenCV.
+    Gather-based — fine for occasional host-side use (color sampling);
+    the LK loop itself uses the patch/matmul path below.
     """
     H, W = img.shape
     x = jnp.clip(xy[..., 0], 0.0, W - 1.000001)
@@ -70,15 +74,54 @@ def bilinear_sample(img, xy):
             + fy * ((1 - fx) * v10 + fx * v11))
 
 
-@partial(jax.jit, static_argnames=("win", "levels", "iters"))
+def _extract_patches(img, corner_yx, P):
+    """Per-track P x P patches at integer corners [T, 2] (y, x), clamped.
+
+    Small (coarse-pyramid) images are edge-padded up to the patch size."""
+    H, W = img.shape
+    if H < P or W < P:
+        img = jnp.pad(img, ((0, max(0, P - H)), (0, max(0, P - W))),
+                      mode="edge")
+        H, W = img.shape
+    cy = jnp.clip(corner_yx[:, 0], 0, H - P)
+    cx = jnp.clip(corner_yx[:, 1], 0, W - P)
+
+    def one(cy1, cx1):
+        return jax.lax.dynamic_slice(img, (cy1, cx1), (P, P))
+
+    return jax.vmap(one)(cy, cx), cy, cx
+
+
+def _interp_weights(pos, win, P):
+    """Banded linear-interpolation matrix rows.
+
+    pos [T]: fractional start position of the window in patch coordinates.
+    Returns [T, win, P] with W[t, i, j] = tri(pos_t + i - j).
+    """
+    i = jnp.arange(win, dtype=pos.dtype)[None, :, None]
+    j = jnp.arange(P, dtype=pos.dtype)[None, None, :]
+    u = pos[:, None, None] + i - j
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+
+def _window(patch, ay, ax, win):
+    """Sample a win x win window at fractional offset (ay, ax) [T] from
+    patches [T, P, P] via two banded matmuls (MXU, f32)."""
+    P = patch.shape[-1]
+    Wy = _interp_weights(ay, win, P)  # [T, win, P]
+    Wx = _interp_weights(ax, win, P)
+    tmp = jnp.einsum("tip,tpq->tiq", Wy, patch, precision=_HP)
+    return jnp.einsum("tiq,tjq->tij", tmp, Wx, precision=_HP)
+
+
+@partial(jax.jit, static_argnames=("win", "levels", "iters", "margin"))
 def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
              levels: int = 3, iters: int = 30, eps: float = 0.01,
-             min_eig_threshold: float = 1e-4):
+             min_eig_threshold: float = 1e-4, margin: int = 7):
     """Track pts [N, 2] from prev_img to next_img.
 
     Returns (new_pts [N, 2], status [N] bool, err [N] f32). ``err`` is the
     mean absolute intensity difference over the window (cv2 flags=0).
-    Invalid input tracks (pts_valid False) come back with status False.
     """
     if pts_valid is None:
         pts_valid = jnp.ones(pts.shape[:-1], dtype=bool)
@@ -86,73 +129,95 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
     next_pyr = build_pyramid(next_img, levels)
 
     r = win // 2
+    P = win + 2 * margin + 1  # patch side; +1 for the interpolation tap
     dt = pts.dtype
-    offs = jnp.stack(jnp.meshgrid(
-        jnp.arange(-r, r + 1, dtype=dt), jnp.arange(-r, r + 1, dtype=dt),
-        indexing="xy"), axis=-1).reshape(-1, 2)  # [win*win, 2]
 
-    g = jnp.zeros_like(pts)  # accumulated displacement at current level scale
+    g = jnp.zeros_like(pts)  # flow estimate at current level scale
     status = pts_valid
 
     for lvl in range(levels - 1, -1, -1):
         J = prev_pyr[lvl]
         I = next_pyr[lvl]
         H, W = J.shape
-        scale = dt.type(2.0 ** lvl) if hasattr(dt, "type") else 2.0 ** lvl
-        p_l = pts / (2.0 ** lvl)  # template position at this level
+        p_l = pts / (2.0 ** lvl)
 
-        # Window coords around the template point (fixed per level).
-        wc = p_l[:, None, :] + offs[None, :, :]  # [N, K, 2]
-        # Template values + Scharr derivatives (cv2's LK derivative filter).
-        Jw = bilinear_sample(J, wc)
-        dx = (bilinear_sample(J, wc + jnp.array([1.0, 0.0], dtype=dt))
-              - bilinear_sample(J, wc + jnp.array([-1.0, 0.0], dtype=dt))) * 0.5
-        dy = (bilinear_sample(J, wc + jnp.array([0.0, 1.0], dtype=dt))
-              - bilinear_sample(J, wc + jnp.array([0.0, -1.0], dtype=dt))) * 0.5
-        g00 = jnp.sum(dx * dx, axis=1)
-        g01 = jnp.sum(dx * dy, axis=1)
-        g11 = jnp.sum(dy * dy, axis=1)
-        # min eigenvalue of G / window area — trackability test
+        # ---- template patch (prev image), anchored at floor(p_l) ----
+        cornerJ = jnp.stack([
+            jnp.floor(p_l[:, 1]).astype(jnp.int32) - r - margin,
+            jnp.floor(p_l[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        pJ, cyJ, cxJ = _extract_patches(J, cornerJ, P)
+        # window start in patch coords (accounts for clamping at borders)
+        ayJ = p_l[:, 1] - r - cyJ.astype(dt)
+        axJ = p_l[:, 0] - r - cxJ.astype(dt)
+        Jw = _window(pJ, ayJ, axJ, win)
+        # gradients on the patch (central differences), then windowed
+        dxP = jnp.pad(0.5 * (pJ[:, :, 2:] - pJ[:, :, :-2]),
+                      ((0, 0), (0, 0), (1, 1)))
+        dyP = jnp.pad(0.5 * (pJ[:, 2:, :] - pJ[:, :-2, :]),
+                      ((0, 0), (1, 1), (0, 0)))
+        dx = _window(dxP, ayJ, axJ, win)
+        dy = _window(dyP, ayJ, axJ, win)
+
+        g00 = jnp.sum(dx * dx, axis=(1, 2))
+        g01 = jnp.sum(dx * dy, axis=(1, 2))
+        g11 = jnp.sum(dy * dy, axis=(1, 2))
         tr = 0.5 * (g00 + g11)
         min_eig = (tr - jnp.sqrt(jnp.maximum(
             0.25 * (g00 - g11) ** 2 + g01 * g01, 0.0))) / (win * win)
-        # cv2 normalizes by 255-scale images; threshold assumes that scale.
         trackable = min_eig >= min_eig_threshold
-        # Only the point center must stay inside at each level — the window
-        # itself is edge-clamped, like OpenCV's border handling (requiring
-        # the full window inside would kill everything within win/2 * 2^lvl
-        # of the border).
         inside = jnp.all(
             (p_l >= 0) & (p_l <= jnp.array([W - 1, H - 1], dtype=dt)),
             axis=-1)
-        status = jnp.logical_and(status, jnp.logical_and(trackable, inside))
+        status = status & trackable & inside
+
+        # ---- search patch (next image), anchored at the initial guess ----
+        q0 = p_l + g  # level-start estimate of the tracked position
+        cornerI = jnp.stack([
+            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
+            jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        pI, cyI, cxI = _extract_patches(I, cornerI, P)
+        baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
 
         def body(_, carry):
-            d, done = carry
-            Iw = bilinear_sample(I, wc + d[:, None, :])
+            q, done = carry
+            a = q - r - baseI  # window start in patch coords (x, y)
+            Iw = _window(pI, a[:, 1], a[:, 0], win)
             diff = Jw - Iw
-            b0 = jnp.sum(diff * dx, axis=1)
-            b1 = jnp.sum(diff * dy, axis=1)
+            b0 = jnp.sum(diff * dx, axis=(1, 2))
+            b1 = jnp.sum(diff * dy, axis=(1, 2))
             s0, s1 = linalg.solve2x2_sym(g00, g01, g11, b0, b1)
             step = jnp.stack([s0, s1], axis=-1)
             step = jnp.where(done[:, None], 0.0, step)
-            d = d + step
-            done = jnp.logical_or(done,
-                                  jnp.sum(step * step, axis=-1) < eps * eps)
-            return d, done
+            q2 = q + step
+            # keep the window inside the patch (residual motion beyond the
+            # margin is recovered by the next pyramid level / next frame)
+            q2 = jnp.clip(q2, baseI + r, baseI + P - 2 - r)
+            done = done | (jnp.sum(step * step, axis=-1) < eps * eps)
+            return q2, done
 
-        d0 = g  # start from upsampled coarser-level displacement
-        done0 = jnp.logical_not(status)  # dead tracks don't iterate
-        d, _ = jax.lax.fori_loop(0, iters, body, (d0, done0))
-        g = d * 2.0 if lvl > 0 else d
+        q_init = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
+        done0 = jnp.logical_not(status)
+        q, _ = jax.lax.fori_loop(0, iters, body, (q_init, done0))
+        g_new = q - p_l
+        g = g_new * 2.0 if lvl > 0 else g_new
 
     new_pts = pts + g
-    # final error at level 0
+
+    # final error at level 0 using the same patch machinery
     J0, I0 = prev_pyr[0], next_pyr[0]
-    wc0 = pts[:, None, :] + offs[None, :, :]
-    Jw0 = bilinear_sample(J0, wc0)
-    Iw0 = bilinear_sample(I0, wc0 + g[:, None, :])
-    err = jnp.mean(jnp.abs(Jw0 - Iw0), axis=1)
+    cornerJ = jnp.stack([
+        jnp.floor(pts[:, 1]).astype(jnp.int32) - r - margin,
+        jnp.floor(pts[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+    pJ, cyJ, cxJ = _extract_patches(J0, cornerJ, P)
+    Jw0 = _window(pJ, pts[:, 1] - r - cyJ.astype(dt),
+                  pts[:, 0] - r - cxJ.astype(dt), win)
+    cornerI = jnp.stack([
+        jnp.floor(new_pts[:, 1]).astype(jnp.int32) - r - margin,
+        jnp.floor(new_pts[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+    pI, cyI, cxI = _extract_patches(I0, cornerI, P)
+    Iw0 = _window(pI, new_pts[:, 1] - r - cyI.astype(dt),
+                  new_pts[:, 0] - r - cxI.astype(dt), win)
+    err = jnp.mean(jnp.abs(Jw0 - Iw0), axis=(1, 2))
     H0, W0 = I0.shape
     inside_final = jnp.all(
         (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
