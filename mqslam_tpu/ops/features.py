@@ -22,34 +22,35 @@ import jax.numpy as jnp
 __all__ = ["shi_tomasi_response", "detect_corners", "min_distance_mask"]
 
 
-def _conv2(img, kernel):
-    """2D valid-mode convolution of [H, W] with [kh, kw], reflect-padded."""
-    kh, kw = kernel.shape
-    img = jnp.pad(img, ((kh // 2, kh // 2), (kw // 2, kw // 2)),
-                  mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        img[None, None], kernel[None, None].astype(img.dtype),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)
-    return out[0, 0]
+def _shift(img, dy, dx):
+    """Edge-replicated shift via pad + static slice (the separable-filter
+    primitive — pure data movement, no gathers, no conv kernels)."""
+    H, W = img.shape
+    pt, pb = max(-dy, 0), max(dy, 0)
+    pl, pr = max(-dx, 0), max(dx, 0)
+    padded = jnp.pad(img, ((pt, pb), (pl, pr)), mode="edge")
+    return padded[dy + pt:dy + pt + H, dx + pl:dx + pl + W]
+
+
+def _sep3(img, kx, ky):
+    """Separable 3-tap filter via shifted adds."""
+    t = (kx[0] * _shift(img, 0, -1) + kx[1] * img + kx[2] * _shift(img, 0, 1))
+    return (ky[0] * _shift(t, -1, 0) + ky[1] * t + ky[2] * _shift(t, 1, 0))
 
 
 def shi_tomasi_response(img, block_size: int = 3):
     """Min-eigenvalue corner response of a grayscale image [H, W] (f32).
 
     cv2.goodFeaturesToTrack semantics: Sobel(3) gradients, box-summed
-    structure tensor over ``block_size``, lambda_min response.
+    structure tensor over ``block_size``, lambda_min response. All filters
+    are separable shifted-add chains (elementwise, no conv kernels).
     """
-    dt = img.dtype
-    sobel_x = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=dt) / 8.0
-    sobel_y = sobel_x.T
-    ix = _conv2(img, sobel_x)
-    iy = _conv2(img, sobel_y)
-    box = jnp.ones((block_size, block_size), dtype=dt)
-    ixx = _conv2(ix * ix, box)
-    iyy = _conv2(iy * iy, box)
-    ixy = _conv2(ix * iy, box)
+    ix = _sep3(img, (-0.125, 0.0, 0.125), (1.0, 2.0, 1.0))
+    iy = _sep3(img, (1.0, 2.0, 1.0), (-0.125, 0.0, 0.125))
+    box = (1.0, 1.0, 1.0)
+    ixx = _sep3(ix * ix, box, box)
+    iyy = _sep3(iy * iy, box, box)
+    ixy = _sep3(ix * iy, box, box)
     tr = 0.5 * (ixx + iyy)
     det_part = jnp.sqrt(jnp.maximum(0.25 * (ixx - iyy) ** 2 + ixy * ixy, 0.0))
     return tr - det_part  # lambda_min
@@ -109,5 +110,5 @@ def detect_corners(img, max_corners: int, quality_level=0.01,
         valid = jnp.logical_and(valid, far)
 
     score = jnp.where(valid, best_resp, -jnp.inf)
-    order = jnp.argsort(-score)[:max_corners]
-    return cand[order], score[order] > -jnp.inf
+    top_score, order = jax.lax.top_k(score, max_corners)
+    return cand[order], top_score > -jnp.inf
