@@ -41,12 +41,17 @@ def _cam_to_world(rvec, tvec):
 
 def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                  init_uv, init_objp, fps: float = 30.0, seed: int = 0,
-                 collect_ba: bool = True, verbose: bool = False):
+                 collect_ba: bool = True, verbose: bool = False,
+                 live_update_period: int = 0, traj_out_file: str = None,
+                 map_out_file: str = None):
     """Run the front-end over a grayscale image sequence.
 
     images: iterable of [H, W] float arrays (0..255). init_uv/init_objp:
     frame-0 2D-3D correspondences (chessboard grid or predefined points,
-    slam2.py:1121-1146).
+    slam2.py:1121-1146). With ``live_update_period`` > 0 and output paths
+    set, the trajectory + map are flushed every N frames — the reference's
+    live Blender-viewer hook (slam2.py:1244-1248, blender_tools.py:501-596
+    polls these files).
     """
     images = iter(images)
     first = np.asarray(next(images), dtype=np.float32)
@@ -174,6 +179,9 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
             print(f"frame {frame_idx}: acc={acc} "
                   f"tracks={int(out.n_tracks)} "
                   f"H-cond={float(out.homography_condition):.3f}")
+        if (live_update_period and traj_out_file
+                and frame_idx % live_update_period == 0):
+            _write_live(state, poses, fps, traj_out_file, map_out_file)
         prev_img = new_img
 
     # --- outputs ---
@@ -207,3 +215,27 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         point_colors=colors, point_groups=groups, ba_data=data,
         n_keyframes=sum(1 for a in accepted_flags if a == 2),
         accepted=accepted_flags)
+
+
+def _write_live(state, poses, fps, traj_out_file, map_out_file):
+    """Periodic trajectory/map flush (write_output, slam2.py:698-740)."""
+    from mqslam_tpu.io.nputil import matrix_to_quat_np
+
+    ts, locs, quats = [], [], []
+    for i, P in enumerate(poses):
+        if P is None:
+            continue
+        ts.append(i / fps)
+        locs.append(P[:3, 3])
+        quats.append(matrix_to_quat_np(P[:3, :3]))
+    tum.save_trajectory(traj_out_file, tum.CamTrajectory(
+        np.asarray(ts), np.asarray(locs).reshape(-1, 3),
+        np.asarray(quats).reshape(-1, 4)))
+    if map_out_file:
+        from mqslam_tpu.io import pcd as pcd_mod
+        n = int(state.n_objp)
+        pts = np.asarray(state.objp[:n])
+        gray = np.clip(np.asarray(state.objp_color[:n]), 0,
+                       255).astype(np.uint8)
+        pcd_mod.save_pcd(map_out_file, pts,
+                         np.stack([gray, gray, gray], axis=1))
