@@ -77,12 +77,9 @@ def bilinear_sample(img, xy):
 def _extract_patches(img, corner_yx, P):
     """Per-track P x P patches at integer corners [T, 2] (y, x), clamped.
 
-    Small (coarse-pyramid) images are edge-padded up to the patch size."""
+    Callers pre-pad the image so in-bounds tracks never hit the clamp (a
+    clamped corner would silently shift the window's patch coordinates)."""
     H, W = img.shape
-    if H < P or W < P:
-        img = jnp.pad(img, ((0, max(0, P - H)), (0, max(0, P - W))),
-                      mode="edge")
-        H, W = img.shape
     cy = jnp.clip(corner_yx[:, 0], 0, H - P)
     cx = jnp.clip(corner_yx[:, 1], 0, W - P)
 
@@ -135,11 +132,12 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
     g = jnp.zeros_like(pts)  # flow estimate at current level scale
     status = pts_valid
 
+    pad = r + margin + 1  # corners never clamp for in-image points
     for lvl in range(levels - 1, -1, -1):
-        J = prev_pyr[lvl]
-        I = next_pyr[lvl]
-        H, W = J.shape
-        p_l = pts / (2.0 ** lvl)
+        H, W = prev_pyr[lvl].shape
+        J = jnp.pad(prev_pyr[lvl], pad, mode="edge")
+        I = jnp.pad(next_pyr[lvl], pad, mode="edge")
+        p_l = pts / (2.0 ** lvl) + pad  # padded coordinates
 
         # ---- template patch (prev image), anchored at floor(p_l) ----
         cornerJ = jnp.stack([
@@ -166,8 +164,8 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
             0.25 * (g00 - g11) ** 2 + g01 * g01, 0.0))) / (win * win)
         trackable = min_eig >= min_eig_threshold
         inside = jnp.all(
-            (p_l >= 0) & (p_l <= jnp.array([W - 1, H - 1], dtype=dt)),
-            axis=-1)
+            (p_l >= pad) & (p_l <= jnp.array([W - 1 + pad, H - 1 + pad],
+                                             dtype=dt)), axis=-1)
         status = status & trackable & inside
 
         # ---- search patch (next image), anchored at the initial guess ----
@@ -198,25 +196,28 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
         q_init = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
         done0 = jnp.logical_not(status)
         q, _ = jax.lax.fori_loop(0, iters, body, (q_init, done0))
-        g_new = q - p_l
+        g_new = q - p_l  # pad offset cancels (both in padded coords)
         g = g_new * 2.0 if lvl > 0 else g_new
 
     new_pts = pts + g
 
-    # final error at level 0 using the same patch machinery
-    J0, I0 = prev_pyr[0], next_pyr[0]
+    # final error at level 0 using the same (padded) patch machinery
+    J0 = jnp.pad(prev_pyr[0], pad, mode="edge")
+    I0 = jnp.pad(next_pyr[0], pad, mode="edge")
+    pts_p = pts + pad
+    new_p = new_pts + pad
     cornerJ = jnp.stack([
-        jnp.floor(pts[:, 1]).astype(jnp.int32) - r - margin,
-        jnp.floor(pts[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        jnp.floor(pts_p[:, 1]).astype(jnp.int32) - r - margin,
+        jnp.floor(pts_p[:, 0]).astype(jnp.int32) - r - margin], axis=1)
     pJ, cyJ, cxJ = _extract_patches(J0, cornerJ, P)
-    Jw0 = _window(pJ, pts[:, 1] - r - cyJ.astype(dt),
-                  pts[:, 0] - r - cxJ.astype(dt), win)
+    Jw0 = _window(pJ, pts_p[:, 1] - r - cyJ.astype(dt),
+                  pts_p[:, 0] - r - cxJ.astype(dt), win)
     cornerI = jnp.stack([
-        jnp.floor(new_pts[:, 1]).astype(jnp.int32) - r - margin,
-        jnp.floor(new_pts[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        jnp.floor(new_p[:, 1]).astype(jnp.int32) - r - margin,
+        jnp.floor(new_p[:, 0]).astype(jnp.int32) - r - margin], axis=1)
     pI, cyI, cxI = _extract_patches(I0, cornerI, P)
-    Iw0 = _window(pI, new_pts[:, 1] - r - cyI.astype(dt),
-                  new_pts[:, 0] - r - cxI.astype(dt), win)
+    Iw0 = _window(pI, new_p[:, 1] - r - cyI.astype(dt),
+                  new_p[:, 0] - r - cxI.astype(dt), win)
     err = jnp.mean(jnp.abs(Jw0 - Iw0), axis=(1, 2))
     H0, W0 = I0.shape
     inside_final = jnp.all(
