@@ -111,14 +111,20 @@ def _window(patch, ay, ax, win):
     return jnp.einsum("tiq,tjq->tij", tmp, Wx, precision=_HP)
 
 
-@partial(jax.jit, static_argnames=("win", "levels", "iters", "margin"))
+@partial(jax.jit, static_argnames=("win", "levels", "iters", "margin",
+                                   "eps", "impl", "interpret"))
 def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
              levels: int = 3, iters: int = 30, eps: float = 0.01,
-             min_eig_threshold: float = 1e-4, margin: int = 7):
+             min_eig_threshold: float = 1e-4, margin: int = 7,
+             impl: str = "xla", interpret: bool = False):
     """Track pts [N, 2] from prev_img to next_img.
 
     Returns (new_pts [N, 2], status [N] bool, err [N] f32). ``err`` is the
     mean absolute intensity difference over the window (cv2 flags=0).
+
+    impl: "xla" (banded-matmul window sampling) or "pallas" (the fused
+    in-VMEM Newton-loop kernel, ops/lk_pallas.py; ``interpret`` runs it in
+    interpreter mode for CPU testing).
     """
     if pts_valid is None:
         pts_valid = jnp.ones(pts.shape[:-1], dtype=bool)
@@ -147,6 +153,35 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
         # window start in patch coords (accounts for clamping at borders)
         ayJ = p_l[:, 1] - r - cyJ.astype(dt)
         axJ = p_l[:, 0] - r - cxJ.astype(dt)
+
+        inside = jnp.all(
+            (p_l >= pad) & (p_l <= jnp.array([W - 1 + pad, H - 1 + pad],
+                                             dtype=dt)), axis=-1)
+        q0 = p_l + g  # level-start estimate of the tracked position
+        cornerI = jnp.stack([
+            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
+            jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        pI, cyI, cxI = _extract_patches(I, cornerI, P)
+        baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
+        q_init0 = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
+
+        if impl == "pallas":
+            from mqslam_tpu.ops.lk_pallas import lk_iterate_pallas
+            aJ2 = jnp.stack([ayJ, axJ], axis=1)
+            a0 = jnp.stack([q_init0[:, 1] - r - baseI[:, 1],
+                            q_init0[:, 0] - r - baseI[:, 0]], axis=1)
+            a_fin, eig, err_win = lk_iterate_pallas(
+                pJ, pI, aJ2, a0, win=win, iters=iters, eps=eps,
+                interpret=interpret)
+            status = status & (eig >= min_eig_threshold) & inside
+            q = jnp.stack([baseI[:, 0] + r + a_fin[:, 1],
+                           baseI[:, 1] + r + a_fin[:, 0]], axis=1)
+            g_new = q - p_l
+            g = g_new * 2.0 if lvl > 0 else g_new
+            if lvl == 0:
+                pallas_err = err_win
+            continue
+
         Jw = _window(pJ, ayJ, axJ, win)
         # gradients on the patch (central differences), then windowed
         dxP = jnp.pad(0.5 * (pJ[:, :, 2:] - pJ[:, :, :-2]),
@@ -162,19 +197,7 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
         tr = 0.5 * (g00 + g11)
         min_eig = (tr - jnp.sqrt(jnp.maximum(
             0.25 * (g00 - g11) ** 2 + g01 * g01, 0.0))) / (win * win)
-        trackable = min_eig >= min_eig_threshold
-        inside = jnp.all(
-            (p_l >= pad) & (p_l <= jnp.array([W - 1 + pad, H - 1 + pad],
-                                             dtype=dt)), axis=-1)
-        status = status & trackable & inside
-
-        # ---- search patch (next image), anchored at the initial guess ----
-        q0 = p_l + g  # level-start estimate of the tracked position
-        cornerI = jnp.stack([
-            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
-            jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-        pI, cyI, cxI = _extract_patches(I, cornerI, P)
-        baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
+        status = status & (min_eig >= min_eig_threshold) & inside
 
         def body(carry):
             q, done, it = carry
@@ -199,14 +222,20 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
             # Newton iterations; running the fixed 30 was latency-bound
             return (it < iters) & ~jnp.all(done)
 
-        q_init = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
         done0 = jnp.logical_not(status)
         q, _, _ = jax.lax.while_loop(cond, body,
-                                     (q_init, done0, jnp.int32(0)))
+                                     (q_init0, done0, jnp.int32(0)))
         g_new = q - p_l  # pad offset cancels (both in padded coords)
         g = g_new * 2.0 if lvl > 0 else g_new
 
     new_pts = pts + g
+    H0, W0 = prev_pyr[0].shape
+    inside_final = jnp.all(
+        (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
+                                               dtype=pts.dtype)), axis=-1)
+    if impl == "pallas":
+        status = status & inside_final
+        return new_pts, status, jnp.where(status, pallas_err, jnp.inf)
 
     # final error at level 0 using the same (padded) patch machinery
     J0 = jnp.pad(prev_pyr[0], pad, mode="edge")
@@ -226,9 +255,5 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
     Iw0 = _window(pI, new_p[:, 1] - r - cyI.astype(dt),
                   new_p[:, 0] - r - cxI.astype(dt), win)
     err = jnp.mean(jnp.abs(Jw0 - Iw0), axis=(1, 2))
-    H0, W0 = I0.shape
-    inside_final = jnp.all(
-        (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
-                                               dtype=pts.dtype)), axis=-1)
     status = jnp.logical_and(status, inside_final)
     return new_pts, status, jnp.where(status, err, jnp.inf)

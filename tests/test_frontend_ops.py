@@ -224,3 +224,28 @@ class TestHomography:
         p2 = pts3d + np.array([1.5, 0.0, 0.0])
         pts2 = jnp.asarray(p2[:, :2] / p2[:, 2:3], jnp.float32)
         assert bool(homography.keyframe_test(pts, pts2))
+
+
+class TestLKPallas:
+    def test_matches_xla_implementation(self, rng):
+        """The fused Pallas Newton-loop kernel (interpret mode on CPU) must
+        agree with the banded-matmul XLA formulation."""
+        import cv2 as _cv2
+        base = checkerboard_texture(rng)
+        M = _cv2.getRotationMatrix2D((160, 120), 1.5, 1.01)
+        M[:, 2] += [2.0, -1.5]
+        moved = _cv2.warpAffine(base, M, (base.shape[1], base.shape[0]))
+        pts = np.stack(np.meshgrid(np.arange(80, 240, 60),
+                                   np.arange(80, 160, 60)), -1
+                       ).reshape(-1, 2).astype(np.float32)
+        a1, s1, e1 = lk.lk_track(jnp.asarray(base), jnp.asarray(moved),
+                                 jnp.asarray(pts))
+        a2, s2, e2 = lk.lk_track(jnp.asarray(base), jnp.asarray(moved),
+                                 jnp.asarray(pts), impl="pallas",
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        both = np.asarray(s1)
+        np.testing.assert_allclose(np.asarray(a2)[both],
+                                   np.asarray(a1)[both], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(e2)[both],
+                                   np.asarray(e1)[both], atol=1e-3)
