@@ -63,29 +63,25 @@ def _kernel(aJ_ref, a0_ref, pJ_ref, pI_ref, out_ref, eig_ref, err_ref,
     lo = jnp.float32(0.0)
     hi = jnp.float32(patch - 2 - win)
 
-    def body(carry):
-        ay, ax, done, it = carry
+    def body(_, carry):
+        ay, ax, done = carry
         Iw = _lerp_window(pI_ref, ay, ax, win)
         diff = Jw - Iw
         b0 = jnp.sum(diff * dx)
         b1 = jnp.sum(diff * dy)
         sx = (g11 * b0 - g01 * b1) / det_safe
         sy = (g00 * b1 - g01 * b0) / det_safe
-        sx = jnp.where(done, 0.0, sx)
-        sy = jnp.where(done, 0.0, sy)
+        sx = jnp.where(done > 0, 0.0, sx)
+        sy = jnp.where(done > 0, 0.0, sy)
         ax2 = jnp.clip(ax + sx, lo, hi)
         ay2 = jnp.clip(ay + sy, lo, hi)
-        done2 = done | (sx * sx + sy * sy < eps * eps)
-        return ay2, ax2, done2, it + 1
-
-    def cond(carry):
-        _, _, done, it = carry
-        return (it < iters) & ~done
+        done2 = jnp.where(sx * sx + sy * sy < eps * eps, jnp.int32(1), done)
+        return ay2, ax2, done2
 
     ay0 = a0_ref[0, 0, 0]
     ax0 = a0_ref[0, 0, 1]
-    ay, ax, _, _ = jax.lax.while_loop(
-        cond, body, (ay0, ax0, jnp.bool_(False), jnp.int32(0)))
+    ay, ax, _ = jax.lax.fori_loop(
+        0, iters, body, (ay0, ax0, jnp.int32(0)))
     out_ref[0, 0, 0] = ay
     out_ref[0, 0, 1] = ax
     # final window error (mean |diff|) for the OF-error gate
