@@ -340,3 +340,38 @@ def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         return state, outs
 
     return run
+
+
+def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
+    """Whole-sequence runner for A agents tracked concurrently: the step
+    vmaps over the agent axis, so the latency-bound small ops amortize —
+    the multi-quadrotor throughput path (aggregate frames/s scales with A
+    until the chip saturates).
+
+    Returns jitted fn: (states [A-stacked pytree], imgs [A, T+1, H, W]) ->
+    (final states, per-frame (accepted [T, A], rvec, tvec)).
+    """
+    step, _ = make_step(cal, config)
+    vstep = jax.vmap(step)
+    vrefill = jax.vmap(lambda s, img: _refill(s, img, config))
+
+    @jax.jit
+    def run(states: TrackerState, imgs):
+        def body(carry, idx):
+            states = carry
+            prev = imgs[:, idx]
+            new = imgs[:, idx + 1]
+            states, out = vstep(states, prev, new)
+            refilled = vrefill(states, new)
+            kf = out.accepted == 2
+            states = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    kf.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                states, refilled)
+            return states, (out.accepted, out.rvec, out.tvec)
+
+        n = imgs.shape[1] - 1
+        states, outs = jax.lax.scan(body, states, jnp.arange(n))
+        return states, outs
+
+    return run

@@ -5,9 +5,11 @@ Work/python_libs/triangulation_c — "speed-of-light" versions of the hot
 loops) for the front-end's hottest op. The XLA formulation (ops/lk.py)
 expresses bilinear window sampling as banded interpolation matmuls because
 per-track dynamic windows would otherwise be giant gathers; inside a Pallas
-kernel the patches live in VMEM, so a window sample is four static-size
-dynamic slices + a 4-tap lerp on the VPU — the whole Newton loop runs
-in-core with zero HBM traffic after the patch loads.
+kernel the patches live in VMEM, so a window sample is a dynamic row slice
++ row lerp (Mosaic supports sublane-axis dynamic slicing; the lane axis
+does not, so column interpolation is one small banded matmul built from an
+in-register iota) — the whole Newton loop runs in-core with zero HBM
+traffic after the patch loads.
 
 Grid: one program per track. Each program receives the track's template and
 search patches ([P, P] VMEM blocks), the template window offset, and the
@@ -26,17 +28,23 @@ __all__ = ["lk_iterate_pallas"]
 
 
 def _lerp_window(patch_ref, ay, ax, win):
-    """Bilinear win x win window at fractional (ay, ax) from a [P, P] ref."""
+    """Bilinear win x win window at fractional (ay, ax) from a [P, P] ref.
+
+    Mosaic supports dynamic slicing along the sublane (row) axis but not the
+    lane (column) axis, so rows are sliced + lerped directly and the column
+    interpolation applies as one banded-matrix matmul built in-register.
+    """
+    P = patch_ref.shape[-1]
     iy = jnp.floor(ay).astype(jnp.int32)
-    ix = jnp.floor(ax).astype(jnp.int32)
     fy = ay - iy.astype(ay.dtype)
-    fx = ax - ix.astype(ax.dtype)
-    p00 = patch_ref[0, pl.ds(iy, win), pl.ds(ix, win)]
-    p01 = patch_ref[0, pl.ds(iy, win), pl.ds(ix + 1, win)]
-    p10 = patch_ref[0, pl.ds(iy + 1, win), pl.ds(ix, win)]
-    p11 = patch_ref[0, pl.ds(iy + 1, win), pl.ds(ix + 1, win)]
-    return ((1 - fy) * ((1 - fx) * p00 + fx * p01)
-            + fy * ((1 - fx) * p10 + fx * p11))
+    rows0 = patch_ref[0, pl.ds(iy, win), :]        # [win, P]
+    rows1 = patch_ref[0, pl.ds(iy + 1, win), :]
+    rows = (1.0 - fy) * rows0 + fy * rows1
+    # column interpolation: W[j, k] = tri(ax + k - j), [P, win]
+    j = jax.lax.broadcasted_iota(jnp.int32, (P, win), 0).astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (P, win), 1).astype(jnp.float32)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(ax + k - j))
+    return jnp.dot(rows, Wx, preferred_element_type=jnp.float32)
 
 
 def _kernel(aJ_ref, a0_ref, pJ_ref, pI_ref, out_ref, eig_ref, err_ref,
