@@ -57,7 +57,7 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
     first = np.asarray(next(images), dtype=np.float32)
     key = jax.random.PRNGKey(seed)
     state = trk.bootstrap(init_uv, init_objp, cal, first, config, key)
-    step, refill_kf = trk.make_step(cal, config)
+    step, refill_kf, _ = trk.make_step(cal, config)
 
     n_init = len(init_uv)
     poses = []

@@ -167,18 +167,23 @@ def _refill(state: TrackerState, img, config: TrackerConfig,
 
 
 def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
-    """Build the jitted per-frame step closed over calibration + config."""
+    """Build the jitted per-frame step closed over calibration + config.
 
-    @jax.jit
-    def step(state: TrackerState, prev_img, new_img):
+    Returns (step, refill_kf). ``step(state, prev_img, new_img)`` builds
+    both pyramids; sequential runners use the pyramid-reusing
+    ``step.pyr(state, prev_pyr, new_pyr)`` (one pyramid build per frame).
+    """
+
+    def step_pyr(state: TrackerState, prev_pyr, new_pyr):
         K = config.max_tracks
         M = config.max_landmarks
+        new_img = new_pyr[0]
         key, k_ransac = jax.random.split(state.key)
 
         # ---- 1. optical flow + error gate ----
-        new_uv, st_of, err_of = lk.lk_track(
-            prev_img, new_img, state.cur_uv, state.active,
-            win=config.lk_win, levels=config.lk_levels)
+        new_uv, st_of, err_of = lk.lk_track_pyr(
+            prev_pyr, new_pyr, state.cur_uv, state.active,
+            win=config.lk_win)
         alive = state.active & st_of & (err_of < config.max_of_error)
         n_active = jnp.maximum(jnp.sum(state.active), 1)
         lost_ratio = (jnp.sum(state.active) - jnp.sum(alive)) / n_active
@@ -217,44 +222,63 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         cond = homography.homography_condition(H)
         is_kf = (~rejected) & (cond > config.homography_threshold)
 
-        # ---- 5. keyframe processing (masked; selected only when is_kf) ----
-        P_keyfr = se3.from_rvec_tvec(state.rvec_keyfr, state.tvec_keyfr)
-        P_cur = se3.from_rvec_tvec(rvec_f, tvec_f)
-        nontri = keep & ~state.triangulated
-        x_new, st_tri = tri.iterative_ls(base_n, P_keyfr, new_n, P_cur)
-        ok1 = nontri & (st_tri == 1)
+        # ---- 5. keyframe processing (lax.cond: skipped on non-keyframes,
+        # which is most frames — saves 2 triangulations + a 10-iter pose
+        # refine of per-frame latency; under vmap it lowers to select) ----
+        def kf_branch(_):
+            P_keyfr = se3.from_rvec_tvec(state.rvec_keyfr, state.tvec_keyfr)
+            P_cur = se3.from_rvec_tvec(rvec_f, tvec_f)
+            nontri = keep & ~state.triangulated
+            x_new, st_tri = tri.iterative_ls(base_n, P_keyfr, new_n, P_cur)
+            ok1 = nontri & (st_tri == 1)
 
-        # refine pose on inlier-triangulated + freshly triangulated points
-        objp_all = jnp.where(ok1[:, None], x_new, track_objp)
-        use_pts = (inlier & tri_alive) | ok1
-        rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, new_uv, cal, rvec_f,
-                                          tvec_f, valid=use_pts, iters=10)
-        # re-triangulate with the refined pose; keep points in front of cams
-        P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
-        x_new2, st_tri2 = tri.iterative_ls(base_n, P_keyfr, new_n, P_cur2)
-        ok2 = ok1 & (st_tri2 >= 0)
+            # refine pose on inlier-triangulated + freshly triangulated pts
+            objp_all = jnp.where(ok1[:, None], x_new, track_objp)
+            use_pts = (inlier & tri_alive) | ok1
+            rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, new_uv, cal, rvec_f,
+                                              tvec_f, valid=use_pts,
+                                              iters=10)
+            # re-triangulate with refined pose; keep points in front of cams
+            P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
+            x_new2, st_tri2 = tri.iterative_ls(base_n, P_keyfr, new_n,
+                                               P_cur2)
+            ok2 = ok1 & (st_tri2 >= 0)
 
-        # landmark store append (capped at M)
-        new_rank = jnp.cumsum(ok2.astype(jnp.int32)) - 1
-        dest = state.n_objp + new_rank
-        can_store = ok2 & (dest < M)
-        dest_safe = jnp.where(can_store, dest, M - 1)
-        objp_store = state.objp.at[dest_safe].set(
-            jnp.where(can_store[:, None], x_new2, state.objp[dest_safe]))
-        # NOTE: the reference samples landmark colors from the base
-        # (keyframe) image (slam2.py:627, "they don't have OF drift"); this
-        # frame is becoming the new base image, so sampling it at the
-        # tracked positions matches those semantics.
-        color_new = lk.bilinear_sample(new_img, new_uv)
-        objp_color = state.objp_color.at[dest_safe].set(
-            jnp.where(can_store, color_new, state.objp_color[dest_safe]))
-        objp_group = state.objp_group.at[dest_safe].set(
-            jnp.where(can_store, state.group_id,
-                      state.objp_group[dest_safe]))
-        n_objp_new = state.n_objp + jnp.sum(can_store)
+            # landmark store append (capped at M)
+            new_rank = jnp.cumsum(ok2.astype(jnp.int32)) - 1
+            dest = state.n_objp + new_rank
+            can_store = ok2 & (dest < M)
+            dest_safe = jnp.where(can_store, dest, M - 1)
+            objp_store = state.objp.at[dest_safe].set(
+                jnp.where(can_store[:, None], x_new2,
+                          state.objp[dest_safe]))
+            # NOTE: the reference samples landmark colors from the base
+            # (keyframe) image (slam2.py:627, "they don't have OF drift");
+            # this frame is becoming the new base image, so sampling it at
+            # the tracked positions matches those semantics.
+            color_new = lk.bilinear_sample(new_img, new_uv)
+            objp_color = state.objp_color.at[dest_safe].set(
+                jnp.where(can_store, color_new,
+                          state.objp_color[dest_safe]))
+            objp_group = state.objp_group.at[dest_safe].set(
+                jnp.where(can_store, state.group_id,
+                          state.objp_group[dest_safe]))
+            n_objp_new = state.n_objp + jnp.sum(can_store)
 
-        # at a keyframe: drop non-triangulated tracks that failed (:615-617)
-        keep_kf = (inlier & tri_alive) | can_store
+            # at a keyframe: drop non-triangulated failed tracks (:615-617)
+            keep_kf = (inlier & tri_alive) | can_store
+            return (rvec_kf, tvec_kf, objp_store, objp_color, objp_group,
+                    n_objp_new, can_store, dest_safe, keep_kf)
+
+        def no_kf_branch(_):
+            return (rvec_f, tvec_f, state.objp, state.objp_color,
+                    state.objp_group, state.n_objp,
+                    jnp.zeros(K, bool), jnp.full(K, M - 1, jnp.int32),
+                    keep)
+
+        (rvec_kf, tvec_kf, objp_store, objp_color, objp_group, n_objp_new,
+         can_store, dest_safe, keep_kf) = jax.lax.cond(
+            is_kf, kf_branch, no_kf_branch, None)
 
         # ---- 6. assemble the three outcomes ----
         def sel(kf_val, acc_val, rej_val):
@@ -304,13 +328,20 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         )
         return new_state, out
 
+    def step_images(state: TrackerState, prev_img, new_img):
+        pyr = lambda im: tuple(lk.build_pyramid(
+            jnp.asarray(im, jnp.float32), config.lk_levels))
+        return step_pyr(state, pyr(prev_img), pyr(new_img))
+
+    step = jax.jit(step_images)
+
     @jax.jit
     def refill_kf(state: TrackerState, new_img):
         """Feature refill — run after a keyframe step (host calls this when
         out.accepted == 2, mirroring slam2.py:656-672)."""
         return _refill(state, new_img, config, bump_group=True)
 
-    return step, refill_kf
+    return step, refill_kf, step_pyr
 
 
 def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
@@ -318,25 +349,29 @@ def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     refill) over a device-resident image stack — the pure-device throughput
     path used by bench.py (no per-frame host round-trips).
 
+    The scan carry holds the previous frame's image pyramid, so each frame
+    pays exactly one ``build_pyramid``.
+
     Returns jitted fn: (state, imgs [T+1, H, W]) -> (final_state,
     per-frame (accepted, rvec, tvec)).
     """
-    step, refill_kf = make_step(cal, config)
+    _, _, step_pyr = make_step(cal, config)
 
     @jax.jit
     def run(state: TrackerState, imgs):
         def body(carry, idx):
-            state = carry
-            prev_img = imgs[idx]
+            state, prev_pyr = carry
             new_img = imgs[idx + 1]
-            state, out = step(state, prev_img, new_img)
+            new_pyr = tuple(lk.build_pyramid(new_img, config.lk_levels))
+            state, out = step_pyr(state, prev_pyr, new_pyr)
             state = jax.lax.cond(out.accepted == 2,
                                  lambda s: _refill(s, new_img, config),
                                  lambda s: s, state)
-            return state, (out.accepted, out.rvec, out.tvec)
+            return (state, new_pyr), (out.accepted, out.rvec, out.tvec)
 
         n = imgs.shape[0] - 1
-        state, outs = jax.lax.scan(body, state, jnp.arange(n))
+        pyr0 = tuple(lk.build_pyramid(imgs[0], config.lk_levels))
+        (state, _), outs = jax.lax.scan(body, (state, pyr0), jnp.arange(n))
         return state, outs
 
     return run
@@ -351,27 +386,30 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     Returns jitted fn: (states [A-stacked pytree], imgs [A, T+1, H, W]) ->
     (final states, per-frame (accepted [T, A], rvec, tvec)).
     """
-    step, _ = make_step(cal, config)
-    vstep = jax.vmap(step)
+    _, _, step_pyr = make_step(cal, config)
+    vstep = jax.vmap(step_pyr)
+    vpyr = jax.vmap(lambda im: tuple(lk.build_pyramid(im, config.lk_levels)))
     vrefill = jax.vmap(lambda s, img: _refill(s, img, config))
 
     @jax.jit
     def run(states: TrackerState, imgs):
         def body(carry, idx):
-            states = carry
-            prev = imgs[:, idx]
+            states, prev_pyr = carry
             new = imgs[:, idx + 1]
-            states, out = vstep(states, prev, new)
+            new_pyr = vpyr(new)
+            states, out = vstep(states, prev_pyr, new_pyr)
             refilled = vrefill(states, new)
             kf = out.accepted == 2
             states = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(
                     kf.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
                 states, refilled)
-            return states, (out.accepted, out.rvec, out.tvec)
+            return (states, new_pyr), (out.accepted, out.rvec, out.tvec)
 
         n = imgs.shape[1] - 1
-        states, outs = jax.lax.scan(body, states, jnp.arange(n))
+        pyr0 = vpyr(imgs[:, 0])
+        (states, _), outs = jax.lax.scan(body, (states, pyr0),
+                                         jnp.arange(n))
         return states, outs
 
     return run
