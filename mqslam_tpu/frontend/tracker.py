@@ -174,16 +174,21 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     ``step.pyr(state, prev_pyr, new_pyr)`` (one pyramid build per frame).
     """
 
+    pad = lk.lk_pad(config.lk_win)
+
     def step_pyr(state: TrackerState, prev_pyr, new_pyr):
+        """Per-frame step over pyramids pre-padded by ``lk.lk_pad(win)``
+        (build via lk.build_pyramid(img, levels, pad=...))."""
         K = config.max_tracks
         M = config.max_landmarks
-        new_img = new_pyr[0]
+        # level 0 is edge-padded; image-coordinate samples add `pad`
+        new_img_padded = new_pyr[0]
         key, k_ransac = jax.random.split(state.key)
 
         # ---- 1. optical flow + error gate ----
         new_uv, st_of, err_of = lk.lk_track_pyr(
             prev_pyr, new_pyr, state.cur_uv, state.active,
-            win=config.lk_win)
+            win=config.lk_win, prepad=True)
         alive = state.active & st_of & (err_of < config.max_of_error)
         n_active = jnp.maximum(jnp.sum(state.active), 1)
         lost_ratio = (jnp.sum(state.active) - jnp.sum(alive)) / n_active
@@ -256,7 +261,7 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             # (keyframe) image (slam2.py:627, "they don't have OF drift");
             # this frame is becoming the new base image, so sampling it at
             # the tracked positions matches those semantics.
-            color_new = lk.bilinear_sample(new_img, new_uv)
+            color_new = lk.bilinear_sample(new_img_padded, new_uv + pad)
             objp_color = state.objp_color.at[dest_safe].set(
                 jnp.where(can_store, color_new,
                           state.objp_color[dest_safe]))
@@ -330,7 +335,7 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
 
     def step_images(state: TrackerState, prev_img, new_img):
         pyr = lambda im: tuple(lk.build_pyramid(
-            jnp.asarray(im, jnp.float32), config.lk_levels))
+            jnp.asarray(im, jnp.float32), config.lk_levels, pad=pad))
         return step_pyr(state, pyr(prev_img), pyr(new_img))
 
     step = jax.jit(step_images)
@@ -356,13 +361,15 @@ def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     per-frame (accepted, rvec, tvec)).
     """
     _, _, step_pyr = make_step(cal, config)
+    pad = lk.lk_pad(config.lk_win)
 
     @jax.jit
     def run(state: TrackerState, imgs):
         def body(carry, idx):
             state, prev_pyr = carry
             new_img = imgs[idx + 1]
-            new_pyr = tuple(lk.build_pyramid(new_img, config.lk_levels))
+            new_pyr = tuple(lk.build_pyramid(new_img, config.lk_levels,
+                                             pad=pad))
             state, out = step_pyr(state, prev_pyr, new_pyr)
             state = jax.lax.cond(out.accepted == 2,
                                  lambda s: _refill(s, new_img, config),
@@ -370,7 +377,7 @@ def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             return (state, new_pyr), (out.accepted, out.rvec, out.tvec)
 
         n = imgs.shape[0] - 1
-        pyr0 = tuple(lk.build_pyramid(imgs[0], config.lk_levels))
+        pyr0 = tuple(lk.build_pyramid(imgs[0], config.lk_levels, pad=pad))
         (state, _), outs = jax.lax.scan(body, (state, pyr0), jnp.arange(n))
         return state, outs
 
@@ -387,8 +394,10 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     (final states, per-frame (accepted [T, A], rvec, tvec)).
     """
     _, _, step_pyr = make_step(cal, config)
+    pad = lk.lk_pad(config.lk_win)
     vstep = jax.vmap(step_pyr)
-    vpyr = jax.vmap(lambda im: tuple(lk.build_pyramid(im, config.lk_levels)))
+    vpyr = jax.vmap(lambda im: tuple(lk.build_pyramid(im, config.lk_levels,
+                                                      pad=pad)))
     vrefill = jax.vmap(lambda s, img: _refill(s, img, config))
 
     @jax.jit

@@ -15,7 +15,7 @@ from mqslam_tpu.core.smallmat import (  # noqa: F401  (re-exported)
 __all__ = [
     "gram", "gram_rhs", "matmul_small", "matvec_small",
     "solve2x2_sym", "solve3x3_sym", "solve3x3", "inv3x3", "pinv_solve_sym",
-    "eigh4x4_smallest", "eigh_jacobi", "svdvals3x3",
+    "solve6x6_spd", "eigh4x4_smallest", "eigh_jacobi", "svdvals3x3",
 ]
 
 
@@ -98,6 +98,33 @@ def pinv_solve_sym(N, rhs, sweeps: int = 6, rcond: float = None):
     return matvec_small(V, inv_w * tmp)
 
 
+def solve6x6_spd(N, rhs, eps=1e-30):
+    """Solve symmetric positive-definite 6x6 systems N @ x = rhs closed-form
+    via 3x3 block elimination (Schur complement on the lower-right block):
+
+        [[A, B], [B^T, D]] [x0, x1] = [r0, r1]
+        S = D - B^T A^{-1} B;  x1 = S^{-1} (r1 - B^T A^{-1} r0);
+        x0 = A^{-1} (r0 - B x1)
+
+    All adjugate/elementwise — ~50 fused VPU ops vs ~400 sequential ops for
+    a Jacobi eigensolve, which made damped-GN pose refinement latency-bound
+    on TPU. Requires N SPD (callers add Levenberg damping); for possibly
+    singular systems use pinv_solve_sym.
+    """
+    A = N[..., :3, :3]
+    B = N[..., :3, 3:]
+    D = N[..., 3:, 3:]
+    r0, r1 = rhs[..., :3], rhs[..., 3:]
+    Ainv = inv3x3(A, eps)
+    AinvB = matmul_small(Ainv, B)                       # [..., 3, 3]
+    S = D - matmul_small(jnp.swapaxes(B, -1, -2), AinvB)
+    Ainv_r0 = matvec_small(Ainv, r0)
+    rhs1 = r1 - jnp.sum(B * Ainv_r0[..., :, None], axis=-2)  # B^T A^-1 r0
+    x1 = solve3x3_sym(0.5 * (S + jnp.swapaxes(S, -1, -2)), rhs1, eps)
+    x0 = Ainv_r0 - matvec_small(AinvB, x1)
+    return jnp.concatenate([x0, x1], axis=-1)
+
+
 def _round_robin_rounds(n):
     """Tournament pairing: (n-1 if even else n) rounds of disjoint (p, q)
     pairs covering every pair exactly once per cycle."""
@@ -115,6 +142,32 @@ def _round_robin_rounds(n):
     return rounds
 
 
+def _jacobi_round_consts(n, rounds, dtype):
+    """Static one-hot tensors per tournament round: selectors for the pivot
+    entries (p,p)/(q,q)/(p,q) and the skeleton of the rotation matrix G."""
+    import numpy as onp
+
+    consts = []
+    for pairs in rounds:
+        k = len(pairs)
+        Epp = onp.zeros((k, n, n), onp.float64)
+        Eqq = onp.zeros((k, n, n), onp.float64)
+        Epq = onp.zeros((k, n, n), onp.float64)
+        Spq = onp.zeros((k, n, n), onp.float64)
+        base = onp.eye(n)
+        for i, (p, q) in enumerate(pairs):
+            Epp[i, p, p] = 1.0
+            Eqq[i, q, q] = 1.0
+            Epq[i, p, q] = 1.0
+            Spq[i, p, q] = 1.0
+            Spq[i, q, p] = -1.0
+            base[p, p] = 0.0
+            base[q, q] = 0.0
+        consts.append(tuple(jnp.asarray(a, dtype)
+                            for a in (Epp, Eqq, Epq, Epp + Eqq, Spq, base)))
+    return consts
+
+
 def eigh_jacobi(S, sweeps: int = 8):
     """Eigendecomposition of small symmetric matrices by parallel-ordering
     Jacobi.
@@ -124,36 +177,32 @@ def eigh_jacobi(S, sweeps: int = 8):
     ascending, eigenvectors [..., n, n], columns as vectors).
 
     TPU shape: each tournament round rotates all floor(n/2) disjoint pivot
-    pairs at once — the rotations assemble into one n x n matrix G and apply
-    as two small matmuls, so the sequential op chain per sweep is n-1 rounds
-    instead of n(n-1)/2 scalar rotations (the cyclic form was latency-bound:
-    ~10x slower on real chips at n=12).
+    pairs at once; pivot extraction and rotation assembly are static one-hot
+    broadcast contractions (NO gathers/scatters — `.at[].set` per round broke
+    XLA fusion and made the n=9/12 solves latency-bound), and the two-sided
+    update is broadcast multiply+sum on the VPU. The whole round fuses into a
+    handful of kernels; n-1 rounds per sweep instead of n(n-1)/2 rotations.
     """
     import jax
-    import numpy as onp
 
     n = S.shape[-1]
     rounds = _round_robin_rounds(n)
-    eye = jnp.eye(n, dtype=S.dtype)
+    consts = _jacobi_round_consts(n, rounds, S.dtype)
 
-    def one_round(A, V, pairs):
-        ps = onp.array([p for (p, q) in pairs])
-        qs = onp.array([q for (p, q) in pairs])
-        app = A[..., ps, ps]
-        aqq = A[..., qs, qs]
-        apq = A[..., ps, qs]
+    def one_round(A, V, consts):
+        Epp, Eqq, Epq, CM, SM, base = consts
+        Ab = A[..., None, :, :]  # [..., 1, n, n]
+        app = jnp.sum(Ab * Epp, axis=(-2, -1))  # [..., k]
+        aqq = jnp.sum(Ab * Eqq, axis=(-2, -1))
+        apq = jnp.sum(Ab * Epq, axis=(-2, -1))
         tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(apq == 0, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
-        # assemble the disjoint rotations into one orthogonal G
-        batch = A.shape[:-2]
-        G = jnp.broadcast_to(eye, batch + (n, n))
-        G = G.at[..., ps, ps].set(c)
-        G = G.at[..., qs, qs].set(c)
-        G = G.at[..., ps, qs].set(s)
-        G = G.at[..., qs, ps].set(-s)
+        G = (base
+             + jnp.sum(c[..., None, None] * CM, axis=-3)
+             + jnp.sum(s[..., None, None] * SM, axis=-3))
         GT = jnp.swapaxes(G, -1, -2)
         A = matmul_small(GT, matmul_small(A, G))
         V = matmul_small(V, G)
@@ -161,8 +210,8 @@ def eigh_jacobi(S, sweeps: int = 8):
 
     def one_sweep(_, carry):
         A, V = carry
-        for pairs in rounds:
-            A, V = one_round(A, V, pairs)
+        for cc in consts:
+            A, V = one_round(A, V, cc)
         return A, V
 
     V0 = jnp.broadcast_to(jnp.eye(n, dtype=S.dtype), S.shape)

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 from mqslam_tpu.ops import linalg
 
-__all__ = ["build_pyramid", "lk_track", "lk_track_pyr", "bilinear_sample"]
+__all__ = ["build_pyramid", "lk_pad", "lk_track", "lk_track_pyr",
+           "bilinear_sample"]
+
+
+def lk_pad(win: int = 21, margin: int = 7) -> int:
+    """Edge padding lk_track_pyr(prepad=True) expects on every level."""
+    return win // 2 + margin + 1
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -47,11 +53,17 @@ def _pyrdown(img):
                for i, ki in enumerate(k)) / 16.0
 
 
-def build_pyramid(img, levels: int = 3):
-    """List of ``levels`` images, level 0 = full resolution."""
+def build_pyramid(img, levels: int = 3, pad: int = 0):
+    """List of ``levels`` images, level 0 = full resolution.
+
+    pad > 0 edge-pads every level by that amount (for
+    lk_track_pyr(prepad=True), use pad=lk_pad(win, margin)); downsampling
+    always operates on the unpadded content."""
     pyr = [img]
     for _ in range(levels - 1):
         pyr.append(_pyrdown(pyr[-1]))
+    if pad:
+        pyr = [jnp.pad(l, pad, mode="edge") for l in pyr]
     return pyr
 
 
@@ -116,6 +128,19 @@ def _window(patch, ay, ax, win):
     return jnp.einsum("tiq,tjq->tij", tmp, Wx, precision=_HP)
 
 
+def _window_multi(patches, ay, ax, win):
+    """Sample the same win x win window from C patches per track at once.
+
+    patches [T, C, P, P] -> [T, C, win, win]; one einsum pair regardless of
+    C (the per-call op-count is what bounds LK latency on TPU, not FLOPs).
+    """
+    P = patches.shape[-1]
+    Wy = _interp_weights(ay, win, P)  # [T, win, P]
+    Wx = _interp_weights(ax, win, P)
+    tmp = jnp.einsum("tip,tcpq->tciq", Wy, patches, precision=_HP)
+    return jnp.einsum("tciq,tjq->tcij", tmp, Wx, precision=_HP)
+
+
 @partial(jax.jit, static_argnames=("win", "levels", "iters", "margin",
                                    "eps", "impl", "interpret"))
 def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
@@ -141,10 +166,20 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
 def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                  iters: int = 30, eps: float = 0.01,
                  min_eig_threshold: float = 1e-4, margin: int = 7,
-                 impl: str = "xla", interpret: bool = False):
+                 impl: str = "xla", interpret: bool = False,
+                 prepad: bool = False):
     """lk_track over prebuilt pyramids (tuples of [H,W] images, level 0 =
     full resolution). Lets sequential trackers reuse the previous frame's
-    pyramid: one ``build_pyramid`` per frame instead of two."""
+    pyramid: one ``build_pyramid`` per frame instead of two.
+
+    ``prepad=True`` declares that every level is already edge-padded by
+    ``lk_pad(win, margin)`` (see build_pyramid(pad=...)) — skips all in-call
+    padding; coordinates are still unpadded-image coordinates.
+
+    Latency shape: template work (patch windows, gradients, min-eig gate) is
+    independent of the flow estimate, so it runs ONCE batched over
+    levels x tracks; only the tiny Newton loops stay sequential per level.
+    """
     levels = len(prev_pyr)
     if pts_valid is None:
         pts_valid = jnp.ones(pts.shape[:-1], dtype=bool)
@@ -152,70 +187,74 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     r = win // 2
     P = win + 2 * margin + 1  # patch side; +1 for the interpolation tap
     dt = pts.dtype
-
-    g = jnp.zeros_like(pts)  # flow estimate at current level scale
-    status = pts_valid
-
+    T = pts.shape[0]
     pad = r + margin + 1  # corners never clamp for in-image points
-    for lvl in range(levels - 1, -1, -1):
-        H, W = prev_pyr[lvl].shape
-        J = jnp.pad(prev_pyr[lvl], pad, mode="edge")
-        I = jnp.pad(next_pyr[lvl], pad, mode="edge")
-        p_l = pts / (2.0 ** lvl) + pad  # padded coordinates
 
-        # ---- template patch (prev image), anchored at floor(p_l) ----
+    if prepad:
+        Js, Is = prev_pyr, next_pyr
+        shapes = [(j.shape[0] - 2 * pad, j.shape[1] - 2 * pad) for j in Js]
+    else:
+        Js = [jnp.pad(l, pad, mode="edge") for l in prev_pyr]
+        Is = [jnp.pad(l, pad, mode="edge") for l in next_pyr]
+        shapes = [l.shape for l in prev_pyr]
+
+    # ---- template setup, batched over levels (flow-independent) ----
+    p_ls, pJs, ayJs, axJs = [], [], [], []
+    inside_all = jnp.ones(T, bool)
+    for lvl in range(levels):
+        H, W = shapes[lvl]
+        p_l = pts / (2.0 ** lvl) + pad  # padded coordinates
         cornerJ = jnp.stack([
             jnp.floor(p_l[:, 1]).astype(jnp.int32) - r - margin,
             jnp.floor(p_l[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-        pJ, cyJ, cxJ = _extract_patches(J, cornerJ, P)
-        # window start in patch coords (accounts for clamping at borders)
-        ayJ = p_l[:, 1] - r - cyJ.astype(dt)
-        axJ = p_l[:, 0] - r - cxJ.astype(dt)
-
-        inside = jnp.all(
+        pJ, cyJ, cxJ = _extract_patches(Js[lvl], cornerJ, P)
+        ayJs.append(p_l[:, 1] - r - cyJ.astype(dt))
+        axJs.append(p_l[:, 0] - r - cxJ.astype(dt))
+        inside_all = inside_all & jnp.all(
             (p_l >= pad) & (p_l <= jnp.array([W - 1 + pad, H - 1 + pad],
                                              dtype=dt)), axis=-1)
+        p_ls.append(p_l)
+        pJs.append(pJ)
+    status = pts_valid & inside_all
+
+    if impl == "pallas":
+        return _lk_pallas_levels(Is, p_ls, pJs, ayJs, axJs, pts, status,
+                                 shapes, win, iters, eps, min_eig_threshold,
+                                 margin, interpret)
+
+    pJ_flat = jnp.stack(pJs).reshape(levels * T, P, P)
+    dxP = jnp.pad(0.5 * (pJ_flat[:, :, 2:] - pJ_flat[:, :, :-2]),
+                  ((0, 0), (0, 0), (1, 1)))
+    dyP = jnp.pad(0.5 * (pJ_flat[:, 2:, :] - pJ_flat[:, :-2, :]),
+                  ((0, 0), (1, 1), (0, 0)))
+    # template + gradient windows for ALL levels in ONE einsum pair
+    # (latency, not FLOPs, bounds this path)
+    wins3 = _window_multi(jnp.stack([pJ_flat, dxP, dyP], axis=1),
+                          jnp.concatenate(ayJs), jnp.concatenate(axJs), win)
+    wins3 = wins3.reshape(levels, T, 3, win, win)
+    Jw_l, dx_l, dy_l = wins3[:, :, 0], wins3[:, :, 1], wins3[:, :, 2]
+    g00_l = jnp.sum(dx_l * dx_l, axis=(2, 3))  # [L, T]
+    g01_l = jnp.sum(dx_l * dy_l, axis=(2, 3))
+    g11_l = jnp.sum(dy_l * dy_l, axis=(2, 3))
+    tr = 0.5 * (g00_l + g11_l)
+    min_eig = (tr - jnp.sqrt(jnp.maximum(
+        0.25 * (g00_l - g11_l) ** 2 + g01_l * g01_l, 0.0))) / (win * win)
+    status = status & jnp.all(min_eig >= min_eig_threshold, axis=0)
+
+    # ---- coarse-to-fine Newton loops (sequential by construction) ----
+    g = jnp.zeros_like(pts)  # flow estimate at current level scale
+    for lvl in range(levels - 1, -1, -1):
+        p_l = p_ls[lvl]
+        Jw, dx, dy = Jw_l[lvl], dx_l[lvl], dy_l[lvl]
+        g00, g01, g11 = g00_l[lvl], g01_l[lvl], g11_l[lvl]
+
         q0 = p_l + g  # level-start estimate of the tracked position
         cornerI = jnp.stack([
             jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
             jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-        pI, cyI, cxI = _extract_patches(I, cornerI, P)
+        pI, cyI, cxI = _extract_patches(Is[lvl], cornerI, P)
         baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
         q_init0 = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
-
-        if impl == "pallas":
-            from mqslam_tpu.ops.lk_pallas import lk_iterate_pallas
-            aJ2 = jnp.stack([ayJ, axJ], axis=1)
-            a0 = jnp.stack([q_init0[:, 1] - r - baseI[:, 1],
-                            q_init0[:, 0] - r - baseI[:, 0]], axis=1)
-            a_fin, eig, err_win = lk_iterate_pallas(
-                pJ, pI, aJ2, a0, win=win, iters=iters, eps=eps,
-                interpret=interpret)
-            status = status & (eig >= min_eig_threshold) & inside
-            q = jnp.stack([baseI[:, 0] + r + a_fin[:, 1],
-                           baseI[:, 1] + r + a_fin[:, 0]], axis=1)
-            g_new = q - p_l
-            g = g_new * 2.0 if lvl > 0 else g_new
-            if lvl == 0:
-                pallas_err = err_win
-            continue
-
-        Jw = _window(pJ, ayJ, axJ, win)
-        # gradients on the patch (central differences), then windowed
-        dxP = jnp.pad(0.5 * (pJ[:, :, 2:] - pJ[:, :, :-2]),
-                      ((0, 0), (0, 0), (1, 1)))
-        dyP = jnp.pad(0.5 * (pJ[:, 2:, :] - pJ[:, :-2, :]),
-                      ((0, 0), (1, 1), (0, 0)))
-        dx = _window(dxP, ayJ, axJ, win)
-        dy = _window(dyP, ayJ, axJ, win)
-
-        g00 = jnp.sum(dx * dx, axis=(1, 2))
-        g01 = jnp.sum(dx * dy, axis=(1, 2))
-        g11 = jnp.sum(dy * dy, axis=(1, 2))
-        tr = 0.5 * (g00 + g11)
-        min_eig = (tr - jnp.sqrt(jnp.maximum(
-            0.25 * (g00 - g11) ** 2 + g01 * g01, 0.0))) / (win * win)
-        status = status & (min_eig >= min_eig_threshold) & inside
 
         def body(carry):
             q, done, it = carry
@@ -247,31 +286,60 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         g = g_new * 2.0 if lvl > 0 else g_new
 
     new_pts = pts + g
-    H0, W0 = prev_pyr[0].shape
+    H0, W0 = shapes[0]
     inside_final = jnp.all(
         (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
                                                dtype=pts.dtype)), axis=-1)
-    if impl == "pallas":
-        status = status & inside_final
-        return new_pts, status, jnp.where(status, pallas_err, jnp.inf)
 
-    # final error at level 0 using the same (padded) patch machinery
-    J0 = jnp.pad(prev_pyr[0], pad, mode="edge")
-    I0 = jnp.pad(next_pyr[0], pad, mode="edge")
-    pts_p = pts + pad
-    new_p = new_pts + pad
-    cornerJ = jnp.stack([
-        jnp.floor(pts_p[:, 1]).astype(jnp.int32) - r - margin,
-        jnp.floor(pts_p[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-    pJ, cyJ, cxJ = _extract_patches(J0, cornerJ, P)
-    Jw0 = _window(pJ, pts_p[:, 1] - r - cyJ.astype(dt),
-                  pts_p[:, 0] - r - cxJ.astype(dt), win)
-    cornerI = jnp.stack([
-        jnp.floor(new_p[:, 1]).astype(jnp.int32) - r - margin,
-        jnp.floor(new_p[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-    pI, cyI, cxI = _extract_patches(I0, cornerI, P)
-    Iw0 = _window(pI, new_p[:, 1] - r - cyI.astype(dt),
-                  new_p[:, 0] - r - cxI.astype(dt), win)
-    err = jnp.mean(jnp.abs(Jw0 - Iw0), axis=(1, 2))
+    # final error at level 0: reuse the level-0 template window (Jw IS the
+    # J-window at pts) and the already-extracted I patch — the loop's clip
+    # keeps the converged q inside pI, so one banded window suffices (the
+    # re-extraction path cost 2 full-image pads + 2 patch gathers).
+    a_fin = q - r - baseI
+    Iw0 = _window(pI, a_fin[:, 1], a_fin[:, 0], win)
+    err = jnp.mean(jnp.abs(Jw - Iw0), axis=(1, 2))
     status = jnp.logical_and(status, inside_final)
     return new_pts, status, jnp.where(status, err, jnp.inf)
+
+
+def _lk_pallas_levels(Is, p_ls, pJs, ayJs, axJs, pts, status, shapes,
+                      win, iters, eps, min_eig_threshold, margin, interpret):
+    """Per-level driver for the fused Pallas Newton kernel."""
+    from mqslam_tpu.ops.lk_pallas import lk_iterate_pallas
+
+    levels = len(Is)
+    r = win // 2
+    P = win + 2 * margin + 1
+    dt = pts.dtype
+    g = jnp.zeros_like(pts)
+    pallas_err = None
+    for lvl in range(levels - 1, -1, -1):
+        p_l = p_ls[lvl]
+        q0 = p_l + g
+        cornerI = jnp.stack([
+            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
+            jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        pI, cyI, cxI = _extract_patches(Is[lvl], cornerI, P)
+        baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
+        q_init0 = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
+        aJ2 = jnp.stack([ayJs[lvl], axJs[lvl]], axis=1)
+        a0 = jnp.stack([q_init0[:, 1] - r - baseI[:, 1],
+                        q_init0[:, 0] - r - baseI[:, 0]], axis=1)
+        a_fin, eig, err_win = lk_iterate_pallas(
+            pJs[lvl], pI, aJ2, a0, win=win, iters=iters, eps=eps,
+            interpret=interpret)
+        status = status & (eig >= min_eig_threshold)
+        q = jnp.stack([baseI[:, 0] + r + a_fin[:, 1],
+                       baseI[:, 1] + r + a_fin[:, 0]], axis=1)
+        g_new = q - p_l
+        g = g_new * 2.0 if lvl > 0 else g_new
+        if lvl == 0:
+            pallas_err = err_win
+
+    new_pts = pts + g
+    H0, W0 = shapes[0]
+    inside_final = jnp.all(
+        (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
+                                               dtype=pts.dtype)), axis=-1)
+    status = status & inside_final
+    return new_pts, status, jnp.where(status, pallas_err, jnp.inf)

