@@ -9,4 +9,7 @@ package adds PLY export (the pcd2ply role, dataset_tools.py:215-218 note)
 and the periodic live-output hook used by the front-end runner.
 """
 
+from mqslam_tpu.viz.colors import (  # noqa: F401
+    color_palette, sample_colors,
+)
 from mqslam_tpu.viz.ply import save_ply  # noqa: F401

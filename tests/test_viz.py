@@ -37,3 +37,44 @@ def test_pcd_to_ply(tmp_path, rng):
     pcd.save_pcd(tmp_path / "m.pcd", pts, colors)
     ply.pcd_to_ply(str(tmp_path / "m.pcd"), str(tmp_path / "m.ply"))
     assert (tmp_path / "m.ply").exists()
+
+
+class TestColors:
+    def test_palette_matches_cv2(self):
+        """Palette reproduces the reference's (cv2-based) palette within
+        Lab->RGB quantization tolerance, same seed-1 shuffle order."""
+        import numpy as np
+        from mqslam_tpu.viz import colors as ct
+
+        pal, num = ct.color_palette(2, 3, 4)
+        assert num == 24 and pal.shape == (24, 3) and pal.dtype == np.uint8
+        try:
+            import cv2
+        except ImportError:
+            return
+        L_min, L_max = 99, 230
+        a_min, a_max = 26, 230
+        b_min, b_max = 26, 230
+        lab = np.zeros((24, 1, 3), np.uint8)
+        i = 0
+        for L in np.arange(L_min, L_max + 1, (L_max - L_min) / 1):
+            for a in np.arange(a_min, a_max + 1, (a_max - a_min) / 2):
+                for b in np.arange(b_min, b_max + 1, (b_max - b_min) / 3):
+                    lab[i, 0] = (L, a, b)
+                    i += 1
+        ref = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB).reshape(24, 3)
+        st = np.random.get_state()
+        np.random.seed(1)
+        ref = np.random.permutation(ref)
+        np.random.set_state(st)
+        diff = np.abs(pal.astype(int) - ref.astype(int)).max()
+        assert diff <= 3, diff
+
+    def test_sample_colors(self):
+        import numpy as np
+        from mqslam_tpu.viz import colors as ct
+
+        img = np.arange(12).reshape(3, 4)
+        pts = np.array([[1.2, 0.4], [3.0, 2.0]])  # (x, y)
+        got = ct.sample_colors(img, pts)
+        assert got.tolist() == [1, 11]
