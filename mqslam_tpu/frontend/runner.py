@@ -32,6 +32,8 @@ class FrontendResult:
     ba_data: Optional[ba_io.BAData]
     n_keyframes: int
     accepted: List[int]                    # per-frame 0/1/2
+    loop_edges: List[tuple] = field(default_factory=list)
+    # (kf_i, kf_j, meas_r [3], meas_t [3]) accepted loop closures
 
 
 def _cam_to_world(rvec, tvec):
@@ -43,7 +45,9 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                  init_uv, init_objp, fps: float = 30.0, seed: int = 0,
                  collect_ba: bool = True, verbose: bool = False,
                  live_update_period: int = 0, traj_out_file: str = None,
-                 map_out_file: str = None):
+                 map_out_file: str = None, loop_closure: bool = False,
+                 loop_min_gap: int = 5, loop_min_matches: int = 25,
+                 max_keyframes: int = 256):
     """Run the front-end over a grayscale image sequence.
 
     images: iterable of [H, W] float arrays (0..255). init_uv/init_objp:
@@ -52,6 +56,11 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
     set, the trajectory + map are flushed every N frames — the reference's
     live Blender-viewer hook (slam2.py:1244-1248, blender_tools.py:501-596
     polls these files).
+
+    loop_closure=True maintains an ORB keyframe database; verified loop
+    edges + keyframe odometry feed a pose-graph optimization that corrects
+    every pose and landmark after the sequence (the capability the
+    reference lacks — its drift correction is offline BA only).
     """
     images = iter(images)
     first = np.asarray(next(images), dtype=np.float32)
@@ -102,6 +111,25 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         data.odometry_assocs = [[]]
         history.append((0, uv0, alive0, comp))
         last_kf_frame = 0
+
+    # --- loop-closure bookkeeping (keyframe DB + edges) ---
+    loop_edges = []
+    if loop_closure:
+        from mqslam_tpu.frontend import loopclosure as lc
+        from mqslam_tpu.ops import orb as orb_mod
+
+        db = lc.empty_db(capacity=max_keyframes, k=config.max_tracks)
+        lc_key = jax.random.PRNGKey(seed + 1)
+        kf_frames = [0]
+        desc0, _, okd0 = orb_mod.brief_describe(
+            jnp.asarray(first), state.cur_uv, state.active)
+        xyz0 = state.objp[state.objp_idx]
+        db = lc.add_keyframe(
+            db, desc0, okd0, state.cur_uv, xyz0,
+            state.active & state.triangulated & okd0,
+            jnp.asarray(_pose6_from_w2c(state.rvec, state.tvec)))
+        lm_ranges = [(0, int(state.n_objp), 0)]
+        last_n_objp = int(state.n_objp)
 
     frame_idx = 0
     prev_img = jnp.asarray(first)
@@ -173,6 +201,37 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                 alive = np.asarray(out.track_alive)
                 uv_list, comp = frame_2d_list(uv, alive)
                 history = [(frame_idx, uv, alive, comp)]
+            if loop_closure:
+                kf_ord = len(kf_frames)
+                alive_j = out.track_alive
+                desc, _, okd = orb_mod.brief_describe(new_img, out.cur_uv,
+                                                      alive_j)
+                # query before inserting (recency gate in KF ordinals)
+                scores, i1, good = lc.loop_scores(
+                    db, desc, okd, cur_index=jnp.int32(kf_ord),
+                    min_gap=loop_min_gap)
+                cand, found = lc.best_candidate(
+                    scores, min_matches=loop_min_matches)
+                if bool(found):
+                    lc_key, k2 = jax.random.split(lc_key)
+                    rv, tv, n_inl, okv = lc.verify_loop(
+                        db, cand, i1, good, out.cur_uv, okd, cal, k2)
+                    if bool(okv):
+                        mr, mt = lc.relative_edge(db.pose[cand], rv, tv)
+                        loop_edges.append((int(cand), kf_ord,
+                                           np.asarray(mr), np.asarray(mt)))
+                        if verbose:
+                            print(f"frame {frame_idx}: LOOP kf{int(cand)}"
+                                  f"->kf{kf_ord} ({int(n_inl)} inliers)")
+                xyz = state.objp[state.objp_idx]
+                db = lc.add_keyframe(
+                    db, desc, okd, out.cur_uv, xyz,
+                    alive_j & out.track_triangulated & okd,
+                    jnp.asarray(_pose6_from_w2c(out.rvec, out.tvec)))
+                kf_frames.append(frame_idx)
+                n_now = int(state.n_objp)
+                lm_ranges.append((last_n_objp, n_now, kf_ord))
+                last_n_objp = n_now
             state = refill_kf(state, new_img)
 
         if verbose:
@@ -184,9 +243,20 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
             _write_live(state, poses, fps, traj_out_file, map_out_file)
         prev_img = new_img
 
-    # --- outputs ---
+    # --- pose-graph loop-closure correction ---
     n_pts = int(state.n_objp)
-    points3d = np.asarray(state.objp[:n_pts])
+    points3d = np.array(state.objp[:n_pts])  # writable host copy
+    if loop_closure and loop_edges:
+        poses, T_kf = _pgo_correct(poses, kf_frames, loop_edges)
+        # landmarks move with the keyframe that created them
+        for (lo, hi, kf_ord) in lm_ranges:
+            T = T_kf[kf_ord]
+            pts = points3d[lo:min(hi, n_pts)]
+            points3d[lo:min(hi, n_pts)] = pts @ T[:3, :3].T + T[:3, 3]
+        state = state._replace(objp=state.objp.at[:n_pts].set(
+            jnp.asarray(points3d)))
+
+    # --- outputs ---
     colors = np.asarray(state.objp_color[:n_pts])
     groups = np.asarray(state.objp_group[:n_pts])
     ts, locs, quats = [], [], []
@@ -214,7 +284,89 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         trajectory=traj, poses=poses, points3d=points3d,
         point_colors=colors, point_groups=groups, ba_data=data,
         n_keyframes=sum(1 for a in accepted_flags if a == 2),
-        accepted=accepted_flags)
+        accepted=accepted_flags, loop_edges=loop_edges)
+
+
+def _pose6_from_w2c(rvec, tvec):
+    """(rvec, center) cam-to-world pose6 from a world->cam (rvec, tvec)."""
+    from mqslam_tpu.core import so3
+
+    rvec = np.asarray(rvec, np.float32)
+    R = np.asarray(so3.exp(jnp.asarray(rvec)))
+    c = -(R.T @ np.asarray(tvec, np.float32))
+    return np.concatenate([-rvec, c]).astype(np.float32)
+
+
+def _pgo_correct(poses, kf_frames, loop_edges):
+    """Pose-graph optimization over the keyframes; every frame and landmark
+    is corrected by its governing keyframe's world transform.
+
+    Returns (new_poses list, T_kf [n_kf, 4, 4] world corrections)."""
+    from mqslam_tpu.core import so3
+    from mqslam_tpu.ba import posegraph as pg
+
+    n = len(kf_frames)
+    p6 = np.zeros((n, 6), np.float32)
+    for k, f in enumerate(kf_frames):
+        P = poses[f]
+        p6[k, :3] = np.asarray(so3.log(jnp.asarray(
+            P[:3, :3].astype(np.float32))))
+        p6[k, 3:] = P[:3, 3]
+
+    def between(i, j):
+        Pi, Pj = poses[kf_frames[i]], poses[kf_frames[j]]
+        D = np.linalg.inv(Pi) @ Pj
+        mr = np.asarray(so3.log(jnp.asarray(D[:3, :3].astype(np.float32))))
+        return mr, D[:3, 3].astype(np.float32)
+
+    E = n - 1 + len(loop_edges)
+    ei = np.zeros(E, np.int32)
+    ej = np.zeros(E, np.int32)
+    mr = np.zeros((E, 3), np.float32)
+    mt = np.zeros((E, 3), np.float32)
+    sig = np.zeros((E, 6), np.float32)
+    for k in range(n - 1):
+        ei[k], ej[k] = k, k + 1
+        mr[k], mt[k] = between(k, k + 1)
+        sig[k] = [1 / 0.01] * 3 + [1 / 0.05] * 3   # odometry confidence
+    for e, (i, j, r, t) in enumerate(loop_edges):
+        k = n - 1 + e
+        ei[k], ej[k] = i, j
+        mr[k], mt[k] = r, t
+        sig[k] = [1 / 0.005] * 3 + [1 / 0.02] * 3  # verified loops: tight
+    prior_mask = np.zeros(n, bool)
+    prior_mask[0] = True
+    prior_r = np.zeros((n, 3), np.float32)
+    prior_t = np.zeros((n, 3), np.float32)
+    prior_r[0], prior_t[0] = p6[0, :3], p6[0, 3:]
+    g = pg.PoseGraph(
+        poses=jnp.asarray(p6), pose_valid=jnp.ones(n, bool),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        edge_meas_r=jnp.asarray(mr), edge_meas_t=jnp.asarray(mt),
+        edge_inv_sigma=jnp.asarray(sig), edge_valid=jnp.ones(E, bool),
+        prior_mask=jnp.asarray(prior_mask), prior_r=jnp.asarray(prior_r),
+        prior_t=jnp.asarray(prior_t),
+        prior_inv_sigma=jnp.tile(jnp.asarray([1e3] * 6, jnp.float32),
+                                 (n, 1)))
+    new_p6, _, _ = pg.pgo_solve(g, iters=25)
+    new_p6 = np.asarray(new_p6)
+
+    T_kf = np.zeros((n, 4, 4), np.float64)
+    for k, f in enumerate(kf_frames):
+        Pn = np.eye(4)
+        Pn[:3, :3] = np.asarray(so3.exp(jnp.asarray(new_p6[k, :3])))
+        Pn[:3, 3] = new_p6[k, 3:]
+        T_kf[k] = Pn @ np.linalg.inv(poses[f])
+
+    # governing keyframe of each frame = last keyframe at or before it
+    new_poses = list(poses)
+    kf_ptr = 0
+    for f in range(len(poses)):
+        while kf_ptr + 1 < n and kf_frames[kf_ptr + 1] <= f:
+            kf_ptr += 1
+        if poses[f] is not None:
+            new_poses[f] = T_kf[kf_ptr] @ poses[f]
+    return new_poses, T_kf
 
 
 def _write_live(state, poses, fps, traj_out_file, map_out_file):

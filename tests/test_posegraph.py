@@ -194,3 +194,52 @@ class TestLoopClosure:
         cq_gt = -(Pq[:3, :3].T @ Pq[:3, 3])
         assert np.linalg.norm(np.asarray(meas_t) - cq_gt) < 0.05
         assert np.linalg.norm(np.asarray(meas_r)) < 0.02
+
+
+class TestRunnerLoopClosure:
+    def test_e2e_loop_closure_pipeline(self):
+        """Out-and-back synthetic sequence: the revisit fires a verified
+        loop edge and the PGO correction keeps/improves the trajectory."""
+        import jax
+        from mqslam_tpu.core import camera as cam_mod
+        from mqslam_tpu.frontend import runner, synthetic
+        from mqslam_tpu.frontend import tracker as trk
+        from mqslam_tpu.ops import features
+
+        rng = np.random.RandomState(7)
+        tex = synthetic.make_texture(rng)
+        f, size, plane_z = 400.0, (320, 240), 4.0
+        n_out = 12
+        P_list = []
+        offs = list(np.linspace(0, 0.9, n_out)) + \
+            list(np.linspace(0.9, 0.0, n_out))
+        for i, ox in enumerate(offs):
+            P = np.eye(4)
+            P[:3, 3] = [-ox, 0.02 * np.sin(i), 0.0]
+            P_list.append(P)
+        P_list = np.stack(P_list)
+        imgs = synthetic.render_plane_sequence(P_list, tex, size=size,
+                                               f=f, plane_z=plane_z)
+        cal = cam_mod.Cal3DS2.from_array(jnp.asarray(
+            [f, f, 0, size[0] / 2, size[1] / 2, 0, 0, 0, 0], jnp.float32))
+        config = trk.TrackerConfig(max_tracks=256, target_keypoints=200)
+        uv, valid = features.detect_corners(jnp.asarray(imgs[0]),
+                                            max_corners=128, cell=12)
+        uv = np.asarray(uv)[np.asarray(valid)][:96]
+        objp = synthetic.backproject_to_plane(
+            uv, P_list[0], f, (size[0] / 2, size[1] / 2), plane_z)
+        res = runner.run_frontend(
+            imgs, cal, config, uv.astype(np.float32),
+            objp.astype(np.float32), collect_ba=False, loop_closure=True,
+            loop_min_gap=2, loop_min_matches=15)
+        assert res.n_keyframes >= 4
+        assert len(res.loop_edges) >= 1, "no loop closure fired"
+        # corrected trajectory still matches ground truth
+        errs = []
+        for i, P in enumerate(res.poses):
+            if P is None:
+                continue
+            Cg = -(P_list[i][:3, :3].T @ P_list[i][:3, 3])
+            errs.append(np.linalg.norm(P[:3, 3] - Cg))
+        assert np.sqrt(np.mean(np.square(errs))) < 0.05, \
+            np.sqrt(np.mean(np.square(errs)))
