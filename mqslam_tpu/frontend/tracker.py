@@ -176,19 +176,14 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
 
     pad = lk.lk_pad(config.lk_win)
 
-    def step_pyr(state: TrackerState, prev_pyr, new_pyr):
-        """Per-frame step over pyramids pre-padded by ``lk.lk_pad(win)``
-        (build via lk.build_pyramid(img, levels, pad=...))."""
+    def post_flow(state: TrackerState, new_img_padded, new_uv, st_of,
+                  err_of):
+        """Everything after optical flow: reject ladder, PnP, keyframe
+        logic. Split out so the multi-agent runner can feed flow results
+        from one shared atlas-LK call (see make_multi_agent_runner)."""
         K = config.max_tracks
         M = config.max_landmarks
-        # level 0 is edge-padded; image-coordinate samples add `pad`
-        new_img_padded = new_pyr[0]
         key, k_ransac = jax.random.split(state.key)
-
-        # ---- 1. optical flow + error gate ----
-        new_uv, st_of, err_of = lk.lk_track_pyr(
-            prev_pyr, new_pyr, state.cur_uv, state.active,
-            win=config.lk_win, prepad=True)
         alive = state.active & st_of & (err_of < config.max_of_error)
         n_active = jnp.maximum(jnp.sum(state.active), 1)
         lost_ratio = (jnp.sum(state.active) - jnp.sum(alive)) / n_active
@@ -333,6 +328,16 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         )
         return new_state, out
 
+    def step_pyr(state: TrackerState, prev_pyr, new_pyr):
+        """Per-frame step over pyramids pre-padded by ``lk.lk_pad(win)``
+        (build via lk.build_pyramid(img, levels, pad=...))."""
+        new_uv, st_of, err_of = lk.lk_track_pyr(
+            prev_pyr, new_pyr, state.cur_uv, state.active,
+            win=config.lk_win, prepad=True)
+        return post_flow(state, new_pyr[0], new_uv, st_of, err_of)
+
+    step_pyr.post_flow = post_flow
+
     def step_images(state: TrackerState, prev_img, new_img):
         pyr = lambda im: tuple(lk.build_pyramid(
             jnp.asarray(im, jnp.float32), config.lk_levels, pad=pad))
@@ -395,29 +400,54 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     """
     _, _, step_pyr = make_step(cal, config)
     pad = lk.lk_pad(config.lk_win)
-    vstep = jax.vmap(step_pyr)
-    vpyr = jax.vmap(lambda im: tuple(lk.build_pyramid(im, config.lk_levels,
-                                                      pad=pad)))
+    post_flow = step_pyr.post_flow
+    vpost = jax.vmap(post_flow)
     vrefill = jax.vmap(lambda s, img: _refill(s, img, config))
+    K = config.max_tracks
+
+    def atlas_pyramid(imgs_a):
+        """[A, H, W] -> per-level [A*Hp, Wp] vertical atlases (each tile
+        pre-padded). One shared image per level lets ALL agents' tracks go
+        through a single LK call — the vmapped per-agent form lowered the
+        per-track dynamic_slice to a serial gather (linear in A)."""
+        pyrs = jax.vmap(lambda im: tuple(lk.build_pyramid(
+            im, config.lk_levels, pad=pad)))(imgs_a)
+        return tuple(l.reshape(l.shape[0] * l.shape[1], l.shape[2])
+                     for l in pyrs)
 
     @jax.jit
     def run(states: TrackerState, imgs):
+        A = imgs.shape[0]
+        agent_ids = jnp.repeat(jnp.arange(A, dtype=jnp.int32), K)
+
         def body(carry, idx):
-            states, prev_pyr = carry
+            states, prev_atlas = carry
             new = imgs[:, idx + 1]
-            new_pyr = vpyr(new)
-            states, out = vstep(states, prev_pyr, new_pyr)
+            new_atlas = atlas_pyramid(new)
+            uv_flat = states.cur_uv.reshape(A * K, 2)
+            act_flat = states.active.reshape(A * K)
+            new_uv, st_of, err_of = lk.lk_track_pyr(
+                prev_atlas, new_atlas, uv_flat, act_flat,
+                win=config.lk_win, prepad=True, atlas_agents=agent_ids,
+                atlas_tiles=A)
+            # per-agent padded level-0 tiles for the keyframe color sampling
+            Hp0 = new_atlas[0].shape[0] // A
+            tiles0 = new_atlas[0].reshape(A, Hp0, new_atlas[0].shape[1])
+            states, out = vpost(states, tiles0,
+                                new_uv.reshape(A, K, 2),
+                                st_of.reshape(A, K),
+                                err_of.reshape(A, K))
             refilled = vrefill(states, new)
             kf = out.accepted == 2
             states = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(
                     kf.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
                 states, refilled)
-            return (states, new_pyr), (out.accepted, out.rvec, out.tvec)
+            return (states, new_atlas), (out.accepted, out.rvec, out.tvec)
 
         n = imgs.shape[1] - 1
-        pyr0 = vpyr(imgs[:, 0])
-        (states, _), outs = jax.lax.scan(body, (states, pyr0),
+        atlas0 = atlas_pyramid(imgs[:, 0])
+        (states, _), outs = jax.lax.scan(body, (states, atlas0),
                                          jnp.arange(n))
         return states, outs
 

@@ -167,7 +167,8 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                  iters: int = 30, eps: float = 0.01,
                  min_eig_threshold: float = 1e-4, margin: int = 7,
                  impl: str = "xla", interpret: bool = False,
-                 prepad: bool = False):
+                 prepad: bool = False, atlas_agents=None,
+                 atlas_tiles: int = 1):
     """lk_track over prebuilt pyramids (tuples of [H,W] images, level 0 =
     full resolution). Lets sequential trackers reuse the previous frame's
     pyramid: one ``build_pyramid`` per frame instead of two.
@@ -179,6 +180,14 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     Latency shape: template work (patch windows, gradients, min-eig gate) is
     independent of the flow estimate, so it runs ONCE batched over
     levels x tracks; only the tiny Newton loops stay sequential per level.
+
+    Atlas mode (multi-agent): pass per-level images vertically stacked from
+    ``atlas_tiles`` equally-sized pre-padded tiles (one agent each) and
+    ``atlas_agents`` [T] int32 giving each track's tile. Tracks keep their
+    own tile coordinates. This turns A per-agent LK calls into ONE call on
+    a shared image — a vmapped-per-agent LK lowers the per-track
+    dynamic_slice to a serial gather and scales ~linearly in A, the atlas
+    path amortizes it. Requires prepad=True.
     """
     levels = len(prev_pyr)
     if pts_valid is None:
@@ -192,11 +201,29 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
 
     if prepad:
         Js, Is = prev_pyr, next_pyr
-        shapes = [(j.shape[0] - 2 * pad, j.shape[1] - 2 * pad) for j in Js]
+        shapes = [(j.shape[0] // atlas_tiles - 2 * pad, j.shape[1] - 2 * pad)
+                  for j in Js]
     else:
+        assert atlas_tiles == 1, "atlas mode requires prepadded pyramids"
         Js = [jnp.pad(l, pad, mode="edge") for l in prev_pyr]
         Is = [jnp.pad(l, pad, mode="edge") for l in next_pyr]
         shapes = [l.shape for l in prev_pyr]
+
+    if atlas_agents is None:
+        row_offs = [jnp.zeros((), jnp.int32)] * levels
+    else:
+        row_offs = [atlas_agents.astype(jnp.int32)
+                    * (Js[lvl].shape[0] // atlas_tiles)
+                    for lvl in range(levels)]
+
+    def extract(img_l, anchor, off):
+        """Patch at floor(anchor)-r-margin in tile coords; ``off`` moves the
+        row into the atlas. Returned corners are back in tile coords."""
+        corner = jnp.stack([
+            jnp.floor(anchor[:, 1]).astype(jnp.int32) - r - margin + off,
+            jnp.floor(anchor[:, 0]).astype(jnp.int32) - r - margin], axis=1)
+        patch, cy, cx = _extract_patches(img_l, corner, P)
+        return patch, cy - off, cx
 
     # ---- template setup, batched over levels (flow-independent) ----
     p_ls, pJs, ayJs, axJs = [], [], [], []
@@ -204,10 +231,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     for lvl in range(levels):
         H, W = shapes[lvl]
         p_l = pts / (2.0 ** lvl) + pad  # padded coordinates
-        cornerJ = jnp.stack([
-            jnp.floor(p_l[:, 1]).astype(jnp.int32) - r - margin,
-            jnp.floor(p_l[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-        pJ, cyJ, cxJ = _extract_patches(Js[lvl], cornerJ, P)
+        pJ, cyJ, cxJ = extract(Js[lvl], p_l, row_offs[lvl])
         ayJs.append(p_l[:, 1] - r - cyJ.astype(dt))
         axJs.append(p_l[:, 0] - r - cxJ.astype(dt))
         inside_all = inside_all & jnp.all(
@@ -249,10 +273,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         g00, g01, g11 = g00_l[lvl], g01_l[lvl], g11_l[lvl]
 
         q0 = p_l + g  # level-start estimate of the tracked position
-        cornerI = jnp.stack([
-            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
-            jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-        pI, cyI, cxI = _extract_patches(Is[lvl], cornerI, P)
+        pI, cyI, cxI = extract(Is[lvl], q0, row_offs[lvl])
         baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
         q_init0 = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
 

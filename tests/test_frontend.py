@@ -105,3 +105,60 @@ class TestFrontendEndToEnd:
         assert back.nr_steps == res.ba_data.nr_steps
         np.testing.assert_allclose(back.points3D, res.ba_data.points3D,
                                    atol=1e-5)
+
+
+class TestMultiAgentRunner:
+    def test_atlas_matches_per_agent_scan(self):
+        """The atlas multi-agent runner reproduces the single-agent scan
+        runner's trajectories for each agent (same kernels, shared image)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mqslam_tpu.core import camera as cam_mod
+        from mqslam_tpu.frontend import synthetic, tracker as trk
+        from mqslam_tpu.ops import features
+
+        f, size, plane_z = 300.0, (320, 240), 4.0
+        cal = cam_mod.Cal3DS2.from_array(jnp.asarray(
+            [f, f, 0, size[0] / 2, size[1] / 2, 0, 0, 0, 0], jnp.float32))
+        config = trk.TrackerConfig(max_tracks=128, target_keypoints=100)
+
+        states, img_stacks, scan_results = [], [], []
+        run1 = trk.make_scan_runner(cal, config)
+        for a, seed in enumerate((3, 9)):
+            rng = np.random.RandomState(seed)
+            tex = synthetic.make_texture(rng)
+            P_list = []
+            for i in range(7):
+                P = np.eye(4)
+                P[:3, 3] = [-0.06 * i, 0.02 * i * (a + 1), 0.0]
+                P_list.append(P)
+            imgs = synthetic.render_plane_sequence(
+                np.stack(P_list), tex, size=size, f=f, plane_z=plane_z)
+            uv, valid = features.detect_corners(jnp.asarray(imgs[0]),
+                                                max_corners=96, cell=12)
+            uv = np.asarray(uv)[np.asarray(valid)][:64]
+            objp = synthetic.backproject_to_plane(
+                uv, P_list[0], f, (size[0] / 2, size[1] / 2), plane_z)
+            st = trk.bootstrap(uv.astype(np.float32),
+                               objp.astype(np.float32), cal, imgs[0],
+                               config, jax.random.PRNGKey(10 + a))
+            states.append(st)
+            img_stacks.append(imgs)
+            scan_results.append(jax.block_until_ready(
+                run1(st, jnp.asarray(imgs))))
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states)
+        imgs_a = jnp.asarray(np.stack(img_stacks))
+        run_ma = trk.make_multi_agent_runner(cal, config)
+        _, (acc, rvecs, tvecs) = jax.block_until_ready(
+            run_ma(stacked, imgs_a))
+        acc = np.asarray(acc)          # [T, A]
+        for a in range(2):
+            _, (acc1, r1, t1) = scan_results[a]
+            assert np.array_equal(acc[:, a], np.asarray(acc1)), a
+            # poses agree to float tolerance (identical arithmetic modulo
+            # atlas layout)
+            np.testing.assert_allclose(np.asarray(tvecs)[:, a],
+                                       np.asarray(t1), atol=2e-3)
