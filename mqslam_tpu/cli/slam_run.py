@@ -21,7 +21,9 @@ def main(argv=None):
     ap.add_argument("cam_intrinsics_file",
                     help="camera_intrinsics.txt (reference wire format)")
     ap.add_argument("--init-pose", dest="init_pose", default=None,
-                    help="init_pose.txt: TUM line(s) with the first pose")
+                    help="init_pose.txt: 4x4 extrinsic matrix (the "
+                         "reference's np.loadtxt format, slam2.py:1054) or "
+                         "a TUM line with the first pose")
     ap.add_argument("--init-points", dest="init_points", default=None,
                     help="init_points.pcd with known 3D points visible in "
                          "frame 0")
@@ -34,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--max-tracks", type=int, default=384)
     ap.add_argument("--target-keypoints", type=int, default=300)
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable ORB loop-closure + pose-graph correction")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -64,25 +68,39 @@ def main(argv=None):
               "svo_initialization.py).", file=sys.stderr)
         return 1
 
-    # init pose (TUM row) + init 3D points; project to get frame-0 2D points
-    init = tum.load_trajectory(args.init_pose)
-    P0 = tum.extrinsics_from_trajectory(init)[0]
+    # init pose + init 3D points; project to get frame-0 2D points.
+    # init_pose.txt is either a plain 4x4 world->cam extrinsic matrix
+    # (slam2.py:1054-1060 loads it with np.loadtxt) or a TUM line.
+    raw = np.loadtxt(args.init_pose)
+    if raw.shape == (4, 4):
+        P0 = raw
+    else:
+        init = tum.load_trajectory(args.init_pose)
+        P0 = tum.extrinsics_from_trajectory(init)[0]
     pts3d, _, _ = pcd.load_pcd(args.init_points)
     uv0, depth = cam_mod.project(jnp.asarray(pts3d, jnp.float32),
                                  jnp.asarray(P0, jnp.float32), cal)
-    ok = np.asarray(depth) > 0
-    uv0 = np.asarray(uv0)[ok]
+    uv0 = np.asarray(uv0)
+    # visibility filter: in front of the camera AND inside the image
+    # (transforms.py:200-226 project_points status; slam2.py:1058-1060)
+    w, h = int(size[0]), int(size[1])
+    ok = ((np.asarray(depth) > 0)
+          & (uv0[:, 0] >= 0) & (uv0[:, 0] < w)
+          & (uv0[:, 1] >= 0) & (uv0[:, 1] < h))
+    uv0 = uv0[ok]
     pts3d = pts3d[ok]
+    if not args.quiet:
+        print(f"init: {ok.sum()}/{len(ok)} predefined points visible in "
+              f"frame 0")
 
     config = trk.TrackerConfig(max_tracks=args.max_tracks,
                                target_keypoints=args.target_keypoints)
-    res = run_frontend(images.iter_images_gray(args.img_dir)
-                       if not args.max_frames else
-                       (images.load_image_gray(p) for p in paths),
+    res = run_frontend((images.load_image_gray(p) for p in paths),
                        cal, config, uv0.astype(np.float32),
                        pts3d.astype(np.float32), fps=args.fps,
                        collect_ba=args.ba_info_dir is not None,
-                       verbose=not args.quiet)
+                       verbose=not args.quiet, t0=1.0 / args.fps,
+                       loop_closure=args.loop_closure)
 
     tum.save_trajectory(args.traj_out, res.trajectory)
     gray = np.clip(res.point_colors, 0, 255).astype(np.uint8)

@@ -47,7 +47,7 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                  live_update_period: int = 0, traj_out_file: str = None,
                  map_out_file: str = None, loop_closure: bool = False,
                  loop_min_gap: int = 5, loop_min_matches: int = 25,
-                 max_keyframes: int = 256):
+                 max_keyframes: int = 256, t0: float = 0.0):
     """Run the front-end over a grayscale image sequence.
 
     images: iterable of [H, W] float arrays (0..255). init_uv/init_objp:
@@ -61,6 +61,11 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
     edges + keyframe odometry feed a pose-graph optimization that corrects
     every pose and landmark after the sequence (the capability the
     reference lacks — its drift correction is offline BA only).
+
+    ``t0`` is the timestamp of frame 0; the reference convention is
+    t0 = 1/fps (dataset_tools.py:275-294 convert_cam_poses_to_cam_trajectory
+    "Timestamp of first pose starts at 1.0 / fps"), which the CLI uses so
+    trajectories associate with the ICL-NUIM/SVO ground-truth files.
     """
     images = iter(images)
     first = np.asarray(next(images), dtype=np.float32)
@@ -203,6 +208,12 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                 history = [(frame_idx, uv, alive, comp)]
             if loop_closure:
                 kf_ord = len(kf_frames)
+                if kf_ord == max_keyframes:
+                    # DB saturated: later keyframes are not queryable as
+                    # loop candidates (add_keyframe becomes a no-op)
+                    print(f"WARNING: loop-closure keyframe DB full "
+                          f"({max_keyframes}); frame {frame_idx} and later "
+                          f"keyframes will not be stored", flush=True)
                 alive_j = out.track_alive
                 desc, _, okd = orb_mod.brief_describe(new_img, out.cur_uv,
                                                       alive_j)
@@ -240,7 +251,8 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                   f"H-cond={float(out.homography_condition):.3f}")
         if (live_update_period and traj_out_file
                 and frame_idx % live_update_period == 0):
-            _write_live(state, poses, fps, traj_out_file, map_out_file)
+            _write_live(state, poses, fps, traj_out_file, map_out_file,
+                        t0=t0)
         prev_img = new_img
 
     # --- pose-graph loop-closure correction ---
@@ -265,7 +277,7 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         if P is None:
             continue
         q = np.asarray(quat_mod.from_matrix(jnp.asarray(P[:3, :3])))
-        ts.append(i / fps)
+        ts.append(t0 + i / fps)
         locs.append(P[:3, 3])
         quats.append(q)
     traj = tum.CamTrajectory(np.asarray(ts),
@@ -278,7 +290,7 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                          np.full(n_pts, 0xFD, np.uint8)], axis=1)
         data.point_colors = np.ascontiguousarray(bgra).view(
             np.float32).reshape(-1)
-        data.poses = [[(P, i / fps) if P is not None else None
+        data.poses = [[(P, t0 + i / fps) if P is not None else None
                        for i, P in enumerate(poses)]]
     return FrontendResult(
         trajectory=traj, poses=poses, points3d=points3d,
@@ -369,7 +381,8 @@ def _pgo_correct(poses, kf_frames, loop_edges):
     return new_poses, T_kf
 
 
-def _write_live(state, poses, fps, traj_out_file, map_out_file):
+def _write_live(state, poses, fps, traj_out_file, map_out_file,
+                t0: float = 0.0):
     """Periodic trajectory/map flush (write_output, slam2.py:698-740)."""
     from mqslam_tpu.io.nputil import matrix_to_quat_np
 
@@ -377,7 +390,7 @@ def _write_live(state, poses, fps, traj_out_file, map_out_file):
     for i, P in enumerate(poses):
         if P is None:
             continue
-        ts.append(i / fps)
+        ts.append(t0 + i / fps)
         locs.append(P[:3, 3])
         quats.append(matrix_to_quat_np(P[:3, :3]))
     tum.save_trajectory(traj_out_file, tum.CamTrajectory(

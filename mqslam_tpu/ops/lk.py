@@ -244,7 +244,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     if impl == "pallas":
         return _lk_pallas_levels(Is, p_ls, pJs, ayJs, axJs, pts, status,
                                  shapes, win, iters, eps, min_eig_threshold,
-                                 margin, interpret)
+                                 margin, interpret, row_offs)
 
     pJ_flat = jnp.stack(pJs).reshape(levels * T, P, P)
     dxP = jnp.pad(0.5 * (pJ_flat[:, :, 2:] - pJ_flat[:, :, :-2]),
@@ -324,8 +324,13 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
 
 
 def _lk_pallas_levels(Is, p_ls, pJs, ayJs, axJs, pts, status, shapes,
-                      win, iters, eps, min_eig_threshold, margin, interpret):
-    """Per-level driver for the fused Pallas Newton kernel."""
+                      win, iters, eps, min_eig_threshold, margin, interpret,
+                      row_offs=None):
+    """Per-level driver for the fused Pallas Newton kernel.
+
+    ``row_offs`` (per-level [T] int32 or scalar 0) moves each track's patch
+    row into its agent's atlas tile, matching the XLA path's ``extract``
+    semantics — corners are returned in tile coordinates."""
     from mqslam_tpu.ops.lk_pallas import lk_iterate_pallas
 
     levels = len(Is)
@@ -334,13 +339,17 @@ def _lk_pallas_levels(Is, p_ls, pJs, ayJs, axJs, pts, status, shapes,
     dt = pts.dtype
     g = jnp.zeros_like(pts)
     pallas_err = None
+    if row_offs is None:
+        row_offs = [jnp.zeros((), jnp.int32)] * levels
     for lvl in range(levels - 1, -1, -1):
         p_l = p_ls[lvl]
         q0 = p_l + g
+        off = row_offs[lvl]
         cornerI = jnp.stack([
-            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin,
+            jnp.floor(q0[:, 1]).astype(jnp.int32) - r - margin + off,
             jnp.floor(q0[:, 0]).astype(jnp.int32) - r - margin], axis=1)
         pI, cyI, cxI = _extract_patches(Is[lvl], cornerI, P)
+        cyI = cyI - off  # back to tile coordinates
         baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
         q_init0 = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
         aJ2 = jnp.stack([ayJs[lvl], axJs[lvl]], axis=1)

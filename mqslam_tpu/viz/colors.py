@@ -71,7 +71,9 @@ def color_palette(nc_L, nc_a, nc_b):
             for bi in range(nc_b):
                 lab[Li * nc_a * nc_b + ai * nc_b + bi] = (
                     Ls[Li], As[ai], Bs[bi])
-    palette = lab8_to_rgb8(np.rint(lab).astype(np.uint8))
+    # plain uint8 cast truncates, matching the reference's assignment of the
+    # float grid values into a uint8 Lab image (color_tools.py:24-28)
+    palette = lab8_to_rgb8(lab.astype(np.uint8))
     rstate = np.random.get_state()
     np.random.seed(1)
     palette = np.random.permutation(palette)

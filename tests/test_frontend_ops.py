@@ -249,3 +249,44 @@ class TestLKPallas:
                                    np.asarray(a1)[both], atol=1e-3)
         np.testing.assert_allclose(np.asarray(e2)[both],
                                    np.asarray(e1)[both], atol=1e-3)
+
+    def test_pallas_atlas_agents(self, rng):
+        """Pallas impl applies atlas row offsets (each agent's I-patches come
+        from its own tile, not agent 0's)."""
+        import cv2 as _cv2
+        base = checkerboard_texture(rng)
+        shifts = [(2.0, -1.5), (-3.0, 1.0)]
+        moved = [
+            _cv2.warpAffine(
+                base, np.float32([[1, 0, dx], [0, 1, dy]]),
+                (base.shape[1], base.shape[0]))
+            for (dx, dy) in shifts]
+        pts = np.stack(np.meshgrid(np.arange(80, 240, 40),
+                                   np.arange(80, 160, 40)), -1
+                       ).reshape(-1, 2).astype(np.float32)
+        T = len(pts)
+        pad = lk.lk_pad()
+        pyr_of = lambda im: tuple(lk.build_pyramid(jnp.asarray(im), 3,
+                                                   pad=pad))
+        atlas = lambda ims: tuple(
+            jnp.concatenate(levels, axis=0)
+            for levels in zip(*[pyr_of(im) for im in ims]))
+        prev_atlas = atlas([base, base])
+        next_atlas = atlas(moved)
+        pts2 = jnp.asarray(np.concatenate([pts, pts]))
+        agents = jnp.concatenate([jnp.zeros(T, jnp.int32),
+                                  jnp.ones(T, jnp.int32)])
+        args = dict(win=21, prepad=True, atlas_agents=agents, atlas_tiles=2)
+        a_x, s_x, _ = lk.lk_track_pyr(prev_atlas, next_atlas, pts2,
+                                      impl="xla", **args)
+        a_p, s_p, _ = lk.lk_track_pyr(prev_atlas, next_atlas, pts2,
+                                      impl="pallas", interpret=True, **args)
+        np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
+        ok = np.asarray(s_x)
+        np.testing.assert_allclose(np.asarray(a_p)[ok], np.asarray(a_x)[ok],
+                                   atol=1e-3)
+        # each agent recovered its own shift
+        for a, (dx, dy) in enumerate(shifts):
+            sel = ok & (np.asarray(agents) == a)
+            flow = np.asarray(a_p)[sel] - np.concatenate([pts, pts])[sel]
+            np.testing.assert_allclose(flow.mean(0), [dx, dy], atol=0.2)
