@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from mqslam_tpu.core import camera as cam_mod, so3
 from mqslam_tpu.ops import homography as homog, linalg
 
-__all__ = ["grid_objp", "calibrate_camera"]
+__all__ = ["grid_objp", "calibrate_camera",
+           "calibrate_camera_from_images"]
 
 
 def grid_objp(board_size, scale=1.0):
@@ -166,3 +167,39 @@ def calibrate_camera(obj_points, img_points, image_size, refine_iters=25):
         jnp.asarray(r).reshape(-1, 2) ** 2, axis=1))))
     Kout = np.array([[fx, 0, u0r], [0, fy, v0r], [0, 0, 1.0]])
     return Kout, dist, pose[:, :3], pose[:, 3:], rms
+
+
+def calibrate_camera_from_images(images, board_size, square_size=1.0,
+                                 refine_iters=25):
+    """Full calibration from raw grayscale images: chessboard corners are
+    detected and subpixel-refined per view (ops/chessboard), then Zhang's
+    method runs on the successful views.
+
+    The calibrate_camera_interactive flow of the reference
+    (calibrate.py:27-57: extractChessboardFeatures per image :38,
+    cv2.calibrateCamera :52) with corners found by our own detector
+    instead of taken as given. ``board_size`` = (cols, rows). Returns
+    (cameraMatrix, distCoeffs, rvecs, tvecs, rms, used) where ``used`` is
+    the boolean per-image detection-success mask.
+    """
+    from mqslam_tpu.ops import chessboard as cb
+
+    img_points = []
+    used = []
+    shape = None
+    for img in images:
+        img = np.asarray(img, np.float32)
+        shape = img.shape
+        ok, corners = cb.find_chessboard_corners(img, board_size)
+        used.append(bool(ok))
+        if ok:
+            img_points.append(corners)
+    if len(img_points) < 3:
+        raise ValueError(
+            f"chessboard detected in only {len(img_points)} images; "
+            "Zhang's method needs >= 3 views")
+    objp = grid_objp(board_size, scale=square_size)
+    K, dist, rvecs, tvecs, rms = calibrate_camera(
+        objp, np.stack(img_points), (shape[1], shape[0]),
+        refine_iters=refine_iters)
+    return K, dist, rvecs, tvecs, rms, np.asarray(used)

@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--max-tracks", type=int, default=384)
     ap.add_argument("--target-keypoints", type=int, default=300)
+    ap.add_argument("--init-chessboard", default=None, metavar="COLSxROWS",
+                    help="bootstrap from a chessboard visible in frame 0 "
+                         "(e.g. 8x6 inner corners), instead of "
+                         "--init-pose/--init-points (slam2.py:1121-1129)")
+    ap.add_argument("--square-size", type=float, default=1.0,
+                    help="chessboard square size in world units")
     ap.add_argument("--loop-closure", action="store_true",
                     help="enable ORB loop-closure + pose-graph correction")
     ap.add_argument("--quiet", action="store_true")
@@ -62,36 +68,54 @@ def main(argv=None):
         print(f"{len(paths)} frames; intrinsics fx={K[0,0]:.2f} "
               f"fy={K[1,1]:.2f}")
 
-    if not (args.init_pose and args.init_points):
-        print("Chessboard bootstrap is not wired into the CLI yet; provide "
-              "--init-pose/--init-points (the SVO-style initialization, "
+    if args.init_chessboard:
+        # chessboard bootstrap: inner corners of the board in frame 0 are
+        # the initial 2D-3D correspondences (slam2.py:1121-1146)
+        from mqslam_tpu.calib.zhang import grid_objp
+        from mqslam_tpu.ops import chessboard as cb
+
+        cols, rows = (int(v) for v in args.init_chessboard.lower()
+                      .split("x"))
+        frame0 = images.load_image_gray(paths[0])
+        found, uv0 = cb.find_chessboard_corners(frame0, (cols, rows))
+        if not found:
+            print("First image must contain the entire chessboard! "
+                  "(slam2.py:1122-1124)", file=sys.stderr)
+            return 1
+        pts3d = grid_objp((cols, rows),
+                          scale=args.square_size).astype(np.float32)
+        if not args.quiet:
+            print(f"init: {len(uv0)} chessboard corners detected")
+    elif args.init_pose and args.init_points:
+        # init pose + init 3D points; project to get frame-0 2D points.
+        # init_pose.txt is either a plain 4x4 world->cam extrinsic matrix
+        # (slam2.py:1054-1060 loads it with np.loadtxt) or a TUM line.
+        raw = np.loadtxt(args.init_pose)
+        if raw.shape == (4, 4):
+            P0 = raw
+        else:
+            init = tum.load_trajectory(args.init_pose)
+            P0 = tum.extrinsics_from_trajectory(init)[0]
+        pts3d, _, _ = pcd.load_pcd(args.init_points)
+        uv0, depth = cam_mod.project(jnp.asarray(pts3d, jnp.float32),
+                                     jnp.asarray(P0, jnp.float32), cal)
+        uv0 = np.asarray(uv0)
+        # visibility filter: in front of the camera AND inside the image
+        # (transforms.py:200-226 project_points status; slam2.py:1058-1060)
+        w, h = int(size[0]), int(size[1])
+        ok = ((np.asarray(depth) > 0)
+              & (uv0[:, 0] >= 0) & (uv0[:, 0] < w)
+              & (uv0[:, 1] >= 0) & (uv0[:, 1] < h))
+        uv0 = uv0[ok]
+        pts3d = pts3d[ok]
+        if not args.quiet:
+            print(f"init: {ok.sum()}/{len(ok)} predefined points visible "
+                  f"in frame 0")
+    else:
+        print("Provide --init-chessboard COLSxROWS (chessboard bootstrap) "
+              "or --init-pose/--init-points (predefined-points bootstrap, "
               "svo_initialization.py).", file=sys.stderr)
         return 1
-
-    # init pose + init 3D points; project to get frame-0 2D points.
-    # init_pose.txt is either a plain 4x4 world->cam extrinsic matrix
-    # (slam2.py:1054-1060 loads it with np.loadtxt) or a TUM line.
-    raw = np.loadtxt(args.init_pose)
-    if raw.shape == (4, 4):
-        P0 = raw
-    else:
-        init = tum.load_trajectory(args.init_pose)
-        P0 = tum.extrinsics_from_trajectory(init)[0]
-    pts3d, _, _ = pcd.load_pcd(args.init_points)
-    uv0, depth = cam_mod.project(jnp.asarray(pts3d, jnp.float32),
-                                 jnp.asarray(P0, jnp.float32), cal)
-    uv0 = np.asarray(uv0)
-    # visibility filter: in front of the camera AND inside the image
-    # (transforms.py:200-226 project_points status; slam2.py:1058-1060)
-    w, h = int(size[0]), int(size[1])
-    ok = ((np.asarray(depth) > 0)
-          & (uv0[:, 0] >= 0) & (uv0[:, 0] < w)
-          & (uv0[:, 1] >= 0) & (uv0[:, 1] < h))
-    uv0 = uv0[ok]
-    pts3d = pts3d[ok]
-    if not args.quiet:
-        print(f"init: {ok.sum()}/{len(ok)} predefined points visible in "
-              f"frame 0")
 
     config = trk.TrackerConfig(max_tracks=args.max_tracks,
                                target_keypoints=args.target_keypoints)

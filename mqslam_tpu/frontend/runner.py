@@ -154,8 +154,11 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         if acc == 0:
             poses.append(None)
             if verbose:
-                print(f"frame {frame_idx}: REJECTED "
-                      f"(lost_ratio={float(out.lost_ratio):.2f})")
+                why = {1: "lost-tracks", 2: "too-few-triangulated",
+                       3: "pnp-outlier-ratio", 4: "reprojection-rms"}.get(
+                           int(out.reject_code), "?")
+                print(f"frame {frame_idx}: REJECTED ({why}, "
+                      f"lost_ratio={float(out.lost_ratio):.2f})")
             continue  # prev_img stays the last accepted image
 
         poses.append(_cam_to_world(out.rvec, out.tvec))
@@ -182,16 +185,21 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                 data.point3D_added_idxs[frame_idx] = [
                     int(oidx[s]) for s in new_slots]
                 # associations of the new landmarks for every frame since the
-                # last keyframe (slam2.py:633-641)
+                # last keyframe (slam2.py:633-641). They are introduced at
+                # THIS step (assoc list index = current step) but each row's
+                # frame field points at the historical frame — the
+                # add_points2D_3Dassoc semantics (slam2.py:777-783), which
+                # is also what keeps the incremental no-future-refs
+                # invariant (DataStructures.hpp:139,156-158).
+                rows = []
                 for (f_idx, uv_h, alive_h, comp_h) in history:
-                    rows = []
                     for s in new_slots:
                         if alive_h[s] and comp_h[s] >= 0:
                             rows.append((f_idx, comp_h[s], oidx[s]))
-                    if rows:
-                        data.point2D3D_assocs[0][f_idx] = np.concatenate([
-                            data.point2D3D_assocs[0][f_idx],
-                            np.asarray(rows, np.int64)], axis=0)
+                if rows:
+                    data.point2D3D_assocs[0][frame_idx] = np.concatenate([
+                        data.point2D3D_assocs[0][frame_idx],
+                        np.asarray(rows, np.int64)], axis=0)
                 # odometry between previous and current keyframe
                 # (slam2.py:680-687): measured = W_prev^-1 W_cur
                 P_prev = poses[last_kf_frame]

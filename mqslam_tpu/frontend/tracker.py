@@ -89,6 +89,8 @@ class StepOutput(NamedTuple):
     n_tracks: jnp.ndarray
     lost_ratio: jnp.ndarray
     homography_condition: jnp.ndarray
+    reject_code: jnp.ndarray    # 0 ok, 1 lost-tracks, 2 too-few-triangulated,
+    #                             3 pnp-outlier-ratio, 4 reprojection-rms
 
 
 def bootstrap(uv, objp, cal, img, config: TrackerConfig, key,
@@ -325,6 +327,11 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             n_tracks=jnp.sum(new_state.active),
             lost_ratio=lost_ratio,
             homography_condition=cond,
+            reject_code=jnp.where(
+                reject_lost, 1, jnp.where(
+                    reject_few, 2, jnp.where(
+                        reject_outl, 3, jnp.where(
+                            reject_rms, 4, 0)))).astype(jnp.int32),
         )
         return new_state, out
 
