@@ -1,0 +1,81 @@
+"""End-to-end regression on the real ICL-NUIM living_room_traj3n frames.
+
+Drives the actual CLI pipeline pieces over the first 45 mounted PNGs:
+matrix-format init_pose parsing + visibility filter, the full front-end,
+BA-info dump integrity, ba_run LM, and ATE gates vs the published
+reference trajectory re-evaluated over the same window (RESULTS.md has
+the full 200-frame numbers).
+
+Skipped when the dataset is not mounted.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+D = "/root/reference/Work/SLAM/datasets/ICL_NUIM/living_room_traj3n_frei_png"
+INTR = "/root/reference/Work/SLAM/datasets/ICL_NUIM/camera_intrinsics.txt"
+N_FRAMES = 45
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(D, "rgb")),
+    reason="ICL_NUIM traj3n dataset not mounted")
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    out = tmp_path_factory.mktemp("icl")
+    from mqslam_tpu.cli import slam_run
+    rc = slam_run.main([
+        os.path.join(D, "rgb"), INTR,
+        "--init-pose", os.path.join(D, "init_pose.txt"),
+        "--init-points", os.path.join(D, "init_points.pcd"),
+        "--traj-out", str(out / "traj_out.cam0-mq.txt"),
+        "--map-out", str(out / "map_out-mq.pcd"),
+        "--ba-info-dir", str(out), "--ba-name", "mq",
+        "--max-frames", str(N_FRAMES), "--quiet"])
+    assert rc == 0
+    return out
+
+
+def _ate(traj_file):
+    from mqslam_tpu.eval import associate, ate
+    from mqslam_tpu.io import tum
+    gt = tum.load_trajectory(os.path.join(D, "traj_groundtruth3.txt"))
+    est = tum.load_trajectory(str(traj_file))
+    return ate.evaluate_ate(est, gt, max_difference=0.02)
+
+
+class TestICLEndToEnd:
+    def test_frontend_tracks_and_beats_reference_window(self, pipeline):
+        res = _ate(pipeline / "traj_out.cam0-mq.txt")
+        # most frames accepted in this easy opening segment
+        assert res.n_pairs >= N_FRAMES - 5
+        # reference slam2's checked-in trajectory over the same window is
+        # ~0.02 m (absolute accuracy class); gate at 0.03 m
+        assert res.rmse < 0.03, res
+
+    def test_ba_dump_valid_and_ba_improves(self, pipeline):
+        from mqslam_tpu.io import ba_info
+        from mqslam_tpu.ba.validate import (validate_data_integrity,
+                                            validate_sufficiently_constrained)
+        data = ba_info.load_ba_data(str(pipeline), "mq", nr_cameras=1,
+                                    fps=30)
+        validate_data_integrity(data)
+        validate_sufficiently_constrained(data, use_odometry=True)
+
+        from mqslam_tpu.cli import ba_run
+        v, hist = ba_run.run(str(pipeline), "mq", 1, 30, verbose=False,
+                             max_iters=25)
+        assert hist[-1] < 0.5 * hist[0]  # LM made real progress
+        res = _ate(pipeline / "traj_out.cam0-mq-BA.txt")
+        res_fe = _ate(pipeline / "traj_out.cam0-mq.txt")
+        assert res.rmse <= res_fe.rmse * 1.05  # BA never hurts materially
+        assert res.rmse < 0.03, res
+
+    def test_timestamps_match_reference_convention(self, pipeline):
+        # first pose timestamp = 1/fps (dataset_tools.py:280)
+        from mqslam_tpu.io import tum
+        est = tum.load_trajectory(str(pipeline / "traj_out.cam0-mq.txt"))
+        assert abs(est.timestamps[0] - 1.0 / 30.0) < 1e-6
