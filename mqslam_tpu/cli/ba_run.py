@@ -47,6 +47,12 @@ def run(base_dir, base_name, nr_cameras, fps, use_odometry=True,
     if mode == 0:
         v, hist = bs.lm_solve(prob, max_iters=max_iters, cg_iters=cg_iters,
                               verbose=verbose)
+        # f64 finishing pass: the f32 LM converges to the f32 cost floor;
+        # the last stretch of the valley is below that resolution
+        # (ba/polish64.py; beats the GTSAM golden on the SVO dump)
+        from mqslam_tpu.ba.polish64 import polish64
+        v, hist64 = polish64(prob, v, max_iters=12, verbose=verbose)
+        hist = hist + hist64[1:]
     else:
         v, hist = binc.incremental_solve(data, prob,
                                          use_odometry=use_odometry,

@@ -97,11 +97,20 @@ def bootstrap(uv, objp, cal, img, config: TrackerConfig, key,
               timestamp_group: int = 0):
     """Frame-0 initialization from known 2D-3D correspondences
     (slam2.py:1121-1181: chessboard or predefined init points + absolute
-    solvePnP + feature refill)."""
+    solvePnP + feature refill).
+
+    One jitted trace end-to-end — the eager op-by-op form paid a separate
+    remote TPU compile per small op (~2 minutes of bootstrap latency on the
+    tunneled backend; one fused executable compiles in seconds)."""
+    return _bootstrap_jit(jnp.asarray(uv, jnp.float32),
+                          jnp.asarray(objp, jnp.float32), cal,
+                          jnp.asarray(img, jnp.float32), config, key)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _bootstrap_jit(uv, objp, cal, img, config: TrackerConfig, key):
     K = config.max_tracks
     M = config.max_landmarks
-    uv = jnp.asarray(uv, jnp.float32)
-    objp = jnp.asarray(objp, jnp.float32)
     n0 = uv.shape[0]
     assert n0 <= K, "more init points than track capacity"
 
@@ -444,12 +453,20 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
                                 new_uv.reshape(A, K, 2),
                                 st_of.reshape(A, K),
                                 err_of.reshape(A, K))
-            refilled = vrefill(states, new)
             kf = out.accepted == 2
-            states = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    kf.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
-                states, refilled)
+
+            def do_refill(states):
+                refilled = vrefill(states, new)
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        kf.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                    states, refilled)
+
+            # full-image corner detection per agent is the most expensive
+            # op in the body — only pay it on frames where SOME agent
+            # keyframed (the single-agent scan has the same cond)
+            states = jax.lax.cond(jnp.any(kf), do_refill, lambda s: s,
+                                  states)
             return (states, new_atlas), (out.accepted, out.rvec, out.tvec)
 
         n = imgs.shape[1] - 1

@@ -144,9 +144,23 @@ class TestRealDataSVO:
         gt = tum.load_trajectory(os.path.join(SVO, "traj_groundtruth.txt"))
         valid = np.asarray(prob.pose_valid)
         ts = (np.flatnonzero(valid) + 1) / 50.0
-        R = so3.exp(jnp.asarray(np.asarray(v.pose_r)[valid]))
-        q = np.asarray(quat.from_matrix(R))
-        traj = tum.CamTrajectory(ts, np.asarray(v.pose_t)[valid], q)
-        res = ate_mod.evaluate_ate(traj, gt, max_difference=0.011)
-        # published: 0.021598 (BA), 0.395356 (front-end input)
-        assert res.rmse < 0.05, res.rmse
+
+        def traj_of(vv):
+            R = so3.exp(jnp.asarray(np.asarray(vv.pose_r)[valid]))
+            q = np.asarray(quat.from_matrix(R))
+            return tum.CamTrajectory(ts, np.asarray(vv.pose_t)[valid], q)
+
+        res = ate_mod.evaluate_ate(traj_of(v), gt, max_difference=0.011)
+        # f32 LM alone reaches the GTSAM accuracy class
+        # (published: 0.021598 BA / 0.395356 front-end input)
+        assert res.rmse < 0.025, res.rmse
+
+        # the f64 finishing pass must BEAT the GTSAM golden: the valley
+        # continues below the f32 cost-resolution floor (ba/polish64.py;
+        # measured 0.02145 vs GTSAM's 0.021598)
+        from mqslam_tpu.ba.polish64 import polish64
+        v2, hist64 = polish64(prob, v, max_iters=12)
+        assert hist64[-1] <= hist64[0]
+        res2 = ate_mod.evaluate_ate(traj_of(v2), gt, max_difference=0.011)
+        assert res2.rmse < 0.0216, res2.rmse
+        assert res2.rmse <= res.rmse + 1e-6
