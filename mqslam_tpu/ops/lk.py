@@ -95,15 +95,23 @@ def _extract_patches(img, corner_yx, P):
     """Per-track P x P patches at integer corners [T, 2] (y, x), clamped.
 
     Callers pre-pad the image so in-bounds tracks never hit the clamp (a
-    clamped corner would silently shift the window's patch coordinates)."""
+    clamped corner would silently shift the window's patch coordinates).
+
+    Formulation: row strips by advanced indexing (one XLA gather over
+    whole rows — lane-aligned copies) + a one-hot column-selection einsum
+    that XLA fuses with the iota compare. The per-track
+    vmapped-dynamic-slice form lowered to a serial slice loop: measured
+    5.4 ms vs 3.5 ms for 3072 tracks on a v5e (and the gap grows with
+    track count); this one is also exact (one-hot matmul in HIGHEST).
+    """
     H, W = img.shape
     cy = jnp.clip(corner_yx[:, 0], 0, H - P)
     cx = jnp.clip(corner_yx[:, 1], 0, W - P)
-
-    def one(cy1, cx1):
-        return jax.lax.dynamic_slice(img, (cy1, cx1), (P, P))
-
-    return jax.vmap(one)(cy, cx), cy, cx
+    strips = img[cy[:, None] + jnp.arange(P)[None, :], :]   # [T, P, W]
+    cols = cx[:, None, None] + jnp.arange(P)[None, None, :]  # [T, 1, P]
+    sel = (jnp.arange(W)[None, :, None] == cols).astype(img.dtype)
+    patch = jnp.einsum("tpw,twq->tpq", strips, sel, precision=_HP)
+    return patch, cy, cx
 
 
 def _interp_weights(pos, win, P):
@@ -195,6 +203,12 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
 
     r = win // 2
     P = win + 2 * margin + 1  # patch side; +1 for the interpolation tap
+    # the template (J) window never moves — it is sampled exactly at the
+    # track position — so J patches only need a 1-px margin (interpolation
+    # tap + central-difference border), not the Newton search margin:
+    # 24 vs 36 rows per patch at the default win, ~1.5x less extraction
+    margin_j = 1
+    PJ = win + 2 * margin_j + 1
     dt = pts.dtype
     T = pts.shape[0]
     pad = r + margin + 1  # corners never clamp for in-image points
@@ -216,13 +230,13 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                     * (Js[lvl].shape[0] // atlas_tiles)
                     for lvl in range(levels)]
 
-    def extract(img_l, anchor, off):
-        """Patch at floor(anchor)-r-margin in tile coords; ``off`` moves the
+    def extract(img_l, anchor, off, m, Pside):
+        """Patch at floor(anchor)-r-m in tile coords; ``off`` moves the
         row into the atlas. Returned corners are back in tile coords."""
         corner = jnp.stack([
-            jnp.floor(anchor[:, 1]).astype(jnp.int32) - r - margin + off,
-            jnp.floor(anchor[:, 0]).astype(jnp.int32) - r - margin], axis=1)
-        patch, cy, cx = _extract_patches(img_l, corner, P)
+            jnp.floor(anchor[:, 1]).astype(jnp.int32) - r - m + off,
+            jnp.floor(anchor[:, 0]).astype(jnp.int32) - r - m], axis=1)
+        patch, cy, cx = _extract_patches(img_l, corner, Pside)
         return patch, cy - off, cx
 
     # ---- template setup, batched over levels (flow-independent) ----
@@ -231,7 +245,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     for lvl in range(levels):
         H, W = shapes[lvl]
         p_l = pts / (2.0 ** lvl) + pad  # padded coordinates
-        pJ, cyJ, cxJ = extract(Js[lvl], p_l, row_offs[lvl])
+        pJ, cyJ, cxJ = extract(Js[lvl], p_l, row_offs[lvl], margin_j, PJ)
         ayJs.append(p_l[:, 1] - r - cyJ.astype(dt))
         axJs.append(p_l[:, 0] - r - cxJ.astype(dt))
         inside_all = inside_all & jnp.all(
@@ -246,7 +260,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                                  shapes, win, iters, eps, min_eig_threshold,
                                  margin, interpret, row_offs)
 
-    pJ_flat = jnp.stack(pJs).reshape(levels * T, P, P)
+    pJ_flat = jnp.stack(pJs).reshape(levels * T, PJ, PJ)
     dxP = jnp.pad(0.5 * (pJ_flat[:, :, 2:] - pJ_flat[:, :, :-2]),
                   ((0, 0), (0, 0), (1, 1)))
     dyP = jnp.pad(0.5 * (pJ_flat[:, 2:, :] - pJ_flat[:, :-2, :]),
@@ -266,6 +280,39 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     status = status & jnp.all(min_eig >= min_eig_threshold, axis=0)
 
     # ---- coarse-to-fine Newton loops (sequential by construction) ----
+    # Tail compaction: a handful of slow tracks would otherwise keep the
+    # whole-T while_loop iterating (each iteration costs O(T) einsums).
+    # Phase 1 runs a short fixed head for everyone; phase 2 gathers the
+    # unconverged tracks into a small compact problem and finishes them.
+    head_iters = min(iters, 8)
+    tail_cap = 256
+
+    def newton(qi, done, pI_, baseI_, Jw_, dx_, dy_, g00_, g01_, g11_,
+               lo_, hi_, n_iters, use_while):
+        def body(carry):
+            q, done, it = carry
+            a = q - r - baseI_  # window start in patch coords (x, y)
+            Iw = _window(pI_, a[:, 1], a[:, 0], win)
+            diff = Jw_ - Iw
+            b0 = jnp.sum(diff * dx_, axis=(1, 2))
+            b1 = jnp.sum(diff * dy_, axis=(1, 2))
+            s0, s1 = linalg.solve2x2_sym(g00_, g01_, g11_, b0, b1)
+            step = jnp.stack([s0, s1], axis=-1)
+            step = jnp.where(done[:, None], 0.0, step)
+            # keep the window inside the patch (residual motion beyond the
+            # margin is recovered by the next pyramid level / next frame)
+            q2 = jnp.clip(q + step, lo_, hi_)
+            done = done | (jnp.sum(step * step, axis=-1) < eps * eps)
+            return q2, done, it + 1
+
+        if use_while:
+            def cond(carry):
+                _, done, it = carry
+                return (it < n_iters) & ~jnp.all(done)
+            return jax.lax.while_loop(cond, body, (qi, done, jnp.int32(0)))
+        return jax.lax.fori_loop(
+            0, n_iters, lambda i, c: body(c), (qi, done, jnp.int32(0)))
+
     g = jnp.zeros_like(pts)  # flow estimate at current level scale
     for lvl in range(levels - 1, -1, -1):
         p_l = p_ls[lvl]
@@ -273,36 +320,30 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         g00, g01, g11 = g00_l[lvl], g01_l[lvl], g11_l[lvl]
 
         q0 = p_l + g  # level-start estimate of the tracked position
-        pI, cyI, cxI = extract(Is[lvl], q0, row_offs[lvl])
+        pI, cyI, cxI = extract(Is[lvl], q0, row_offs[lvl], margin, P)
         baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
-        q_init0 = jnp.clip(q0, baseI + r, baseI + P - 2 - r)
-
-        def body(carry):
-            q, done, it = carry
-            a = q - r - baseI  # window start in patch coords (x, y)
-            Iw = _window(pI, a[:, 1], a[:, 0], win)
-            diff = Jw - Iw
-            b0 = jnp.sum(diff * dx, axis=(1, 2))
-            b1 = jnp.sum(diff * dy, axis=(1, 2))
-            s0, s1 = linalg.solve2x2_sym(g00, g01, g11, b0, b1)
-            step = jnp.stack([s0, s1], axis=-1)
-            step = jnp.where(done[:, None], 0.0, step)
-            q2 = q + step
-            # keep the window inside the patch (residual motion beyond the
-            # margin is recovered by the next pyramid level / next frame)
-            q2 = jnp.clip(q2, baseI + r, baseI + P - 2 - r)
-            done = done | (jnp.sum(step * step, axis=-1) < eps * eps)
-            return q2, done, it + 1
-
-        def cond(carry):
-            _, done, it = carry
-            # data-dependent early exit: typical sequences converge in 3-8
-            # Newton iterations; running the fixed 30 was latency-bound
-            return (it < iters) & ~jnp.all(done)
-
+        lo = baseI + r
+        hi = baseI + P - 2 - r
+        q_init0 = jnp.clip(q0, lo, hi)
         done0 = jnp.logical_not(status)
-        q, _, _ = jax.lax.while_loop(cond, body,
-                                     (q_init0, done0, jnp.int32(0)))
+
+        if T < 4 * tail_cap or iters <= head_iters:
+            q, _, _ = newton(q_init0, done0, pI, baseI, Jw, dx, dy,
+                             g00, g01, g11, lo, hi, iters, True)
+        else:
+            q, done, _ = newton(q_init0, done0, pI, baseI, Jw, dx, dy,
+                                g00, g01, g11, lo, hi, head_iters, False)
+            # finish the unconverged tail compactly (if more than tail_cap
+            # are unconverged the extras keep their head-phase flow; the
+            # per-frame error gate downstream rejects any stragglers)
+            sel = jax.lax.top_k((~done).astype(jnp.float32),
+                                tail_cap)[1]
+            live = ~done[sel]
+            qc, dc, _ = newton(q[sel], ~live, pI[sel], baseI[sel], Jw[sel],
+                               dx[sel], dy[sel], g00[sel], g01[sel],
+                               g11[sel], lo[sel], hi[sel],
+                               iters - head_iters, True)
+            q = q.at[sel].set(jnp.where(live[:, None], qc, q[sel]))
         g_new = q - p_l  # pad offset cancels (both in padded coords)
         g = g_new * 2.0 if lvl > 0 else g_new
 

@@ -109,9 +109,10 @@ def lk_iterate_pallas(patchesJ, patchesI, aJ, a0, win: int = 21,
     a0: [T, 2] initial search window offset.
     Returns (a_final [T, 2], min_eig [T], err [T]).
     """
-    T, P, _ = patchesJ.shape
+    T, PJ, _ = patchesJ.shape
+    PI = patchesI.shape[-1]
     kernel = functools.partial(_kernel, win=win, iters=iters, eps=eps,
-                               patch=P)
+                               patch=PI)
     grid = (T,)
     out_shape = (
         jax.ShapeDtypeStruct((T, 1, 2), jnp.float32),
@@ -126,9 +127,9 @@ def lk_iterate_pallas(patchesJ, patchesI, aJ, a0, win: int = 21,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 2), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P, P), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, PJ, PJ), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, P), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, PI, PI), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

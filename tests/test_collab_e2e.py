@@ -1,0 +1,34 @@
+"""Two-agent collaborative end-to-end (BASELINE config #4).
+
+Two front-end runs -> per-agent BA dumps -> merge with rendezvous
+cross-factors -> joint BA sharded over the 8 virtual devices. Gates:
+joint BA beats each agent's raw front-end, and on average is at least as
+good as independent per-agent BA (the cross-factors tie the chains).
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def table():
+    from mqslam_tpu.cli import collab_demo
+    # 32 frames: enough accumulated front-end drift that the BA stages are
+    # measurably better (shorter runs drown in the rendezvous-factor noise)
+    return collab_demo.run(n_frames=32, verbose=False)
+
+
+class TestCollaborative:
+    def test_joint_beats_frontend(self, table):
+        for a, (fe, ind, joint) in table.items():
+            assert joint < fe, (a, table)
+
+    def test_joint_at_least_as_good_as_independent_on_average(self, table):
+        mean_ind = np.mean([v[1] for v in table.values()])
+        mean_joint = np.mean([v[2] for v in table.values()])
+        assert mean_joint <= mean_ind * 1.10, table
+
+    def test_all_stages_reasonable(self, table):
+        for a, vals in table.items():
+            for v in vals:
+                assert v < 0.05, table  # all stages well under 5 cm
