@@ -164,3 +164,22 @@ class TestRealDataSVO:
         res2 = ate_mod.evaluate_ate(traj_of(v2), gt, max_difference=0.011)
         assert res2.rmse < 0.0216, res2.rmse
         assert res2.rmse <= res.rmse + 1e-6
+
+    def test_incremental_completes_on_real_dump(self):
+        """The reference's iSAM modes throw IndeterminantLinearSystem on
+        its own slam2 dumps (bundle_adjustment/ReadMe.txt); our
+        step-batched incremental mode must complete and keep cost finite
+        (first 40 steps here; the full 186-step run reaches ATE 0.234 m
+        vs the 0.395 m front-end input — ba/incremental.py docstring)."""
+        import jax.numpy as jnp
+        from mqslam_tpu.ba import incremental as binc
+
+        SVO = "/root/reference/Work/SLAM/datasets/SVO/sin2_tex2_h1_v8_d"
+        data = ba_info.load_ba_data(SVO, "slam2", nr_cameras=1, fps=50)
+        prob = ba_problem.problem_from_ba_data(data)
+        prob = prob._replace(odo_valid=jnp.zeros_like(prob.odo_valid))
+        v, hist = binc.incremental_solve(data, prob, use_odometry=False,
+                                         max_steps=40)
+        assert len(hist) == 40
+        assert np.isfinite(hist).all()
+        assert np.isfinite(np.asarray(v.pose_t)).all()
