@@ -44,6 +44,13 @@ def main(argv=None):
                     help="chessboard square size in world units")
     ap.add_argument("--loop-closure", action="store_true",
                     help="enable ORB loop-closure + pose-graph correction")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file (written every "
+                         "--checkpoint-every frames; resumable)")
+    ap.add_argument("--checkpoint-every", type=int, default=30)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint instead of starting "
+                         "from frame 0")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -124,7 +131,12 @@ def main(argv=None):
                        pts3d.astype(np.float32), fps=args.fps,
                        collect_ba=args.ba_info_dir is not None,
                        verbose=not args.quiet, t0=1.0 / args.fps,
-                       loop_closure=args.loop_closure)
+                       loop_closure=args.loop_closure,
+                       checkpoint_every=(args.checkpoint_every
+                                         if args.checkpoint else 0),
+                       checkpoint_path=args.checkpoint,
+                       resume_from=(args.checkpoint if args.resume
+                                    else None))
 
     tum.save_trajectory(args.traj_out, res.trajectory)
     gray = np.clip(res.point_colors, 0, 255).astype(np.uint8)

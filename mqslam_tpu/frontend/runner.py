@@ -47,7 +47,9 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                  live_update_period: int = 0, traj_out_file: str = None,
                  map_out_file: str = None, loop_closure: bool = False,
                  loop_min_gap: int = 5, loop_min_matches: int = 25,
-                 max_keyframes: int = 256, t0: float = 0.0):
+                 max_keyframes: int = 256, t0: float = 0.0,
+                 checkpoint_every: int = 0, checkpoint_path: str = None,
+                 resume_from: str = None):
     """Run the front-end over a grayscale image sequence.
 
     images: iterable of [H, W] float arrays (0..255). init_uv/init_objp:
@@ -66,19 +68,36 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
     t0 = 1/fps (dataset_tools.py:275-294 convert_cam_poses_to_cam_trajectory
     "Timestamp of first pose starts at 1.0 / fps"), which the CLI uses so
     trajectories associate with the ICL-NUIM/SVO ground-truth files.
+
+    With ``checkpoint_every`` > 0 and ``checkpoint_path`` set, the full
+    resumable state (tracker pytree incl. PRNG key + host bookkeeping) is
+    written every N accepted frames; ``resume_from`` restarts mid-sequence
+    bit-identically to an uninterrupted run (frontend/checkpoint.py).
     """
+    if resume_from and loop_closure:
+        raise ValueError("resume_from with loop_closure is not supported")
     images = iter(images)
     first = np.asarray(next(images), dtype=np.float32)
-    key = jax.random.PRNGKey(seed)
-    state = trk.bootstrap(init_uv, init_objp, cal, first, config, key)
     step, refill_kf, _ = trk.make_step(cal, config)
 
+    resume_state = None
+    if resume_from:
+        from mqslam_tpu.frontend.checkpoint import load_checkpoint
+        (state, resume_frame, prev_np, poses, accepted_flags,
+         bk) = load_checkpoint(resume_from)
+        for _ in range(resume_frame):  # frame 0 already consumed
+            next(images)
+        resume_state = (resume_frame, prev_np, bk)
+    else:
+        key = jax.random.PRNGKey(seed)
+        state = trk.bootstrap(init_uv, init_objp, cal, first, config, key)
+        poses = []
+        accepted_flags = []
+        P0 = _cam_to_world(state.rvec, state.tvec)
+        poses.append(P0)
+        accepted_flags.append(2)
+
     n_init = len(init_uv)
-    poses = []
-    accepted_flags = []
-    P0 = _cam_to_world(state.rvec, state.tvec)
-    poses.append(P0)
-    accepted_flags.append(2)
 
     # --- BA bookkeeping ---
     data = ba_io.BAData(nr_cameras=1) if collect_ba else None
@@ -93,7 +112,9 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         comp[idxs] = np.arange(len(idxs))
         return uv[idxs], comp
 
-    if collect_ba:
+    if resume_state is not None:
+        data, history, last_kf_frame = resume_state[2]
+    elif collect_ba:
         data.pose_noise = [ba_io.NoiseModel.diagonal([0.002] * 3 + [0.001] * 3)]
         data.odometry_noise = [[ba_io.NoiseModel.diagonal(
             [0.05] * 3 + [0.2] * 3)]]
@@ -136,8 +157,12 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
         lm_ranges = [(0, int(state.n_objp), 0)]
         last_n_objp = int(state.n_objp)
 
-    frame_idx = 0
-    prev_img = jnp.asarray(first)
+    if resume_state is not None:
+        frame_idx = resume_state[0]
+        prev_img = jnp.asarray(resume_state[1])
+    else:
+        frame_idx = 0
+        prev_img = jnp.asarray(first)
     for img in images:
         frame_idx += 1
         new_img = jnp.asarray(np.asarray(img, dtype=np.float32))
@@ -262,6 +287,14 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
             _write_live(state, poses, fps, traj_out_file, map_out_file,
                         t0=t0)
         prev_img = new_img
+        if (checkpoint_every and checkpoint_path
+                and frame_idx % checkpoint_every == 0):
+            from mqslam_tpu.frontend.checkpoint import save_checkpoint
+            bk = (data, history, last_kf_frame) if collect_ba else \
+                (None, [], 0)
+            save_checkpoint(checkpoint_path, state, frame_idx,
+                            np.asarray(prev_img), poses, accepted_flags,
+                            bookkeeping=bk)
 
     # --- pose-graph loop-closure correction ---
     n_pts = int(state.n_objp)
