@@ -116,8 +116,15 @@ def pnp_planar(objp, uv_norm, weights=None):
     VsV = linalg.matmul_small(V3 * s_inv[..., None, :],
                               jnp.swapaxes(V3, -1, -2))
     Rm = linalg.matmul_small(M, VsV)
-    R = jnp.stack([Rm[..., :, 0], Rm[..., :, 1],
+    A = jnp.stack([Rm[..., :, 0], Rm[..., :, 1],
                    jnp.cross(Rm[..., :, 0], Rm[..., :, 1])], axis=-1)
+    # A maps PLANE-BASIS coords (pu, pv, n) to camera coords; the world->cam
+    # rotation needs the plane-basis change rolled in: R = A E^T with
+    # E = [e1 e2 e1xe2] (identity only when the plane happens to be z=0
+    # with axis-aligned eigenvectors — eigh's axis order/signs are
+    # arbitrary, so dropping E silently mis-rotates general boards)
+    E = jnp.stack([e1, e2, jnp.cross(e1, e2)], axis=-1)
+    R = linalg.matmul_small(A, jnp.swapaxes(E, -1, -2))
     t = b - linalg.matvec_small(R, O)
     return R, t
 
