@@ -12,3 +12,4 @@ never per-observation data.
 from mqslam_tpu.parallel.sharded_ba import (  # noqa: F401
     make_sharded_lm_iteration, shard_problem_for_mesh, sharded_lm_solve,
 )
+from mqslam_tpu.parallel import multihost  # noqa: F401

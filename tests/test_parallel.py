@@ -76,3 +76,26 @@ class TestGraftEntry:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
+
+
+class TestMultihostAPI:
+    def test_single_process_path(self):
+        """multihost.solve over the virtual 8-device 'global' mesh matches
+        the single-device solve (process topology degenerate here; the
+        mesh/shard_map path is identical to real multi-host)."""
+        import jax
+        import jax.numpy as jnp
+        from mqslam_tpu.ba import problem as bp, solver as bs
+        from mqslam_tpu.ba import synthetic as bsyn
+        from mqslam_tpu.parallel import multihost
+
+        assert multihost.initialize() is False  # no-op without coordinator
+        mesh = multihost.global_mesh()
+        assert mesh.shape["data"] == len(jax.devices())
+        data = bsyn.generate_cube_scenario(nr_cameras=2, nr_frames=8,
+                                           seed=0)
+        prob = bp.problem_from_ba_data(data,
+                                       pad_multiple=len(jax.devices()))
+        v_m, h_m = multihost.solve(prob, mesh, max_iters=10, cg_iters=150)
+        v_1, h_1 = bs.lm_solve(prob, max_iters=10, cg_iters=150)
+        assert abs(h_m[-1] - h_1[-1]) / max(abs(h_1[-1]), 1e-12) < 5e-3
