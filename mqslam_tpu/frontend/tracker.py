@@ -75,6 +75,26 @@ class TrackerState(NamedTuple):
     key: jnp.ndarray            # PRNG key
 
 
+class TrackInterm(NamedTuple):
+    """Intermediates between the tracking phase and the keyframe phase
+    (see make_step: track_phase / kf_phase / finalize)."""
+    key: jnp.ndarray
+    new_uv: jnp.ndarray
+    lost_ratio: jnp.ndarray
+    tri_alive: jnp.ndarray
+    track_objp: jnp.ndarray
+    inlier: jnp.ndarray
+    keep: jnp.ndarray
+    rejected: jnp.ndarray
+    reject_code: jnp.ndarray
+    rvec_f: jnp.ndarray
+    tvec_f: jnp.ndarray
+    base_n: jnp.ndarray
+    new_n: jnp.ndarray
+    cond: jnp.ndarray
+    is_kf: jnp.ndarray
+
+
 class StepOutput(NamedTuple):
     """Per-frame results for the host (trajectory + BA bookkeeping)."""
     accepted: jnp.ndarray       # int32: 0 rejected, 1 tracked, 2 keyframe
@@ -187,13 +207,13 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
 
     pad = lk.lk_pad(config.lk_win)
 
-    def post_flow(state: TrackerState, new_img_padded, new_uv, st_of,
-                  err_of):
-        """Everything after optical flow: reject ladder, PnP, keyframe
-        logic. Split out so the multi-agent runner can feed flow results
-        from one shared atlas-LK call (see make_multi_agent_runner)."""
-        K = config.max_tracks
-        M = config.max_landmarks
+    def track_phase(state: TrackerState, new_uv, st_of, err_of):
+        """Per-frame tracking up to the keyframe DECISION: reject ladder,
+        RANSAC PnP, pose refinement, homography keyframe test.  Returns the
+        intermediate pytree the (rare, expensive) keyframe phase and the
+        finalizer consume — split so runners can gate the keyframe phase
+        on an actual keyframe firing (under vmap a lax.cond inside one
+        function lowers to select and would run every frame)."""
         key, k_ransac = jax.random.split(state.key)
         alive = state.active & st_of & (err_of < config.max_of_error)
         n_active = jnp.maximum(jnp.sum(state.active), 1)
@@ -233,75 +253,93 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         cond = homography.homography_condition(H)
         is_kf = (~rejected) & (cond > config.homography_threshold)
 
-        # ---- 5. keyframe processing (lax.cond: skipped on non-keyframes,
-        # which is most frames — saves 2 triangulations + a 10-iter pose
-        # refine of per-frame latency; under vmap it lowers to select) ----
-        def kf_branch(_):
-            P_keyfr = se3.from_rvec_tvec(state.rvec_keyfr, state.tvec_keyfr)
-            P_cur = se3.from_rvec_tvec(rvec_f, tvec_f)
-            nontri = keep & ~state.triangulated
-            x_new, st_tri = tri.iterative_ls(base_n, P_keyfr, new_n, P_cur)
-            ok1 = nontri & (st_tri == 1)
+        reject_code = jnp.where(
+            reject_lost, 1, jnp.where(
+                reject_few, 2, jnp.where(
+                    reject_outl, 3, jnp.where(
+                        reject_rms, 4, 0)))).astype(jnp.int32)
+        return TrackInterm(
+            key=key, new_uv=new_uv, lost_ratio=lost_ratio,
+            tri_alive=tri_alive, track_objp=track_objp, inlier=inlier,
+            keep=keep, rejected=rejected, reject_code=reject_code,
+            rvec_f=rvec_f, tvec_f=tvec_f, base_n=base_n, new_n=new_n,
+            cond=cond, is_kf=is_kf)
 
-            # refine pose on inlier-triangulated + freshly triangulated pts
-            objp_all = jnp.where(ok1[:, None], x_new, track_objp)
-            use_pts = (inlier & tri_alive) | ok1
-            rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, new_uv, cal, rvec_f,
-                                              tvec_f, valid=use_pts,
-                                              iters=10)
-            # re-triangulate with refined pose; keep points in front of cams
-            P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
-            x_new2, st_tri2 = tri.iterative_ls(base_n, P_keyfr, new_n,
-                                               P_cur2)
-            ok2 = ok1 & (st_tri2 >= 0)
+    def kf_phase(state: TrackerState, t: TrackInterm, new_img_padded):
+        """Keyframe processing: triangulate new landmarks vs the last
+        keyframe, refine the pose on all points, re-triangulate, append to
+        the landmark store (slam2.py:539-692).  Expensive — runners call
+        it only when a keyframe actually fires."""
+        K = config.max_tracks
+        M = config.max_landmarks
+        P_keyfr = se3.from_rvec_tvec(state.rvec_keyfr, state.tvec_keyfr)
+        P_cur = se3.from_rvec_tvec(t.rvec_f, t.tvec_f)
+        nontri = t.keep & ~state.triangulated
+        x_new, st_tri = tri.iterative_ls(t.base_n, P_keyfr, t.new_n, P_cur)
+        ok1 = nontri & (st_tri == 1)
 
-            # landmark store append (capped at M)
-            new_rank = jnp.cumsum(ok2.astype(jnp.int32)) - 1
-            dest = state.n_objp + new_rank
-            can_store = ok2 & (dest < M)
-            dest_safe = jnp.where(can_store, dest, M - 1)
-            objp_store = state.objp.at[dest_safe].set(
-                jnp.where(can_store[:, None], x_new2,
-                          state.objp[dest_safe]))
-            # NOTE: the reference samples landmark colors from the base
-            # (keyframe) image (slam2.py:627, "they don't have OF drift");
-            # this frame is becoming the new base image, so sampling it at
-            # the tracked positions matches those semantics.
-            color_new = lk.bilinear_sample(new_img_padded, new_uv + pad)
-            objp_color = state.objp_color.at[dest_safe].set(
-                jnp.where(can_store, color_new,
-                          state.objp_color[dest_safe]))
-            objp_group = state.objp_group.at[dest_safe].set(
-                jnp.where(can_store, state.group_id,
-                          state.objp_group[dest_safe]))
-            n_objp_new = state.n_objp + jnp.sum(can_store)
+        # refine pose on inlier-triangulated + freshly triangulated pts
+        objp_all = jnp.where(ok1[:, None], x_new, t.track_objp)
+        use_pts = (t.inlier & t.tri_alive) | ok1
+        rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, t.new_uv, cal,
+                                          t.rvec_f, t.tvec_f,
+                                          valid=use_pts, iters=10)
+        # re-triangulate with refined pose; keep points in front of cams
+        P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
+        x_new2, st_tri2 = tri.iterative_ls(t.base_n, P_keyfr, t.new_n,
+                                           P_cur2)
+        ok2 = ok1 & (st_tri2 >= 0)
 
-            # at a keyframe: drop non-triangulated failed tracks (:615-617)
-            keep_kf = (inlier & tri_alive) | can_store
-            return (rvec_kf, tvec_kf, objp_store, objp_color, objp_group,
-                    n_objp_new, can_store, dest_safe, keep_kf)
+        # landmark store append (capped at M)
+        new_rank = jnp.cumsum(ok2.astype(jnp.int32)) - 1
+        dest = state.n_objp + new_rank
+        can_store = ok2 & (dest < M)
+        dest_safe = jnp.where(can_store, dest, M - 1)
+        objp_store = state.objp.at[dest_safe].set(
+            jnp.where(can_store[:, None], x_new2,
+                      state.objp[dest_safe]))
+        # NOTE: the reference samples landmark colors from the base
+        # (keyframe) image (slam2.py:627, "they don't have OF drift");
+        # this frame is becoming the new base image, so sampling it at
+        # the tracked positions matches those semantics.
+        color_new = lk.bilinear_sample(new_img_padded, t.new_uv + pad)
+        objp_color = state.objp_color.at[dest_safe].set(
+            jnp.where(can_store, color_new,
+                      state.objp_color[dest_safe]))
+        objp_group = state.objp_group.at[dest_safe].set(
+            jnp.where(can_store, state.group_id,
+                      state.objp_group[dest_safe]))
+        n_objp_new = state.n_objp + jnp.sum(can_store)
 
-        def no_kf_branch(_):
-            return (rvec_f, tvec_f, state.objp, state.objp_color,
-                    state.objp_group, state.n_objp,
-                    jnp.zeros(K, bool), jnp.full(K, M - 1, jnp.int32),
-                    keep)
+        # at a keyframe: drop non-triangulated failed tracks (:615-617)
+        keep_kf = (t.inlier & t.tri_alive) | can_store
+        return (rvec_kf, tvec_kf, objp_store, objp_color, objp_group,
+                n_objp_new, can_store, dest_safe, keep_kf)
 
+    def no_kf_phase(state: TrackerState, t: TrackInterm):
+        K = config.max_tracks
+        M = config.max_landmarks
+        return (t.rvec_f, t.tvec_f, state.objp, state.objp_color,
+                state.objp_group, state.n_objp,
+                jnp.zeros(K, bool), jnp.full(K, M - 1, jnp.int32),
+                t.keep)
+
+    def finalize(state: TrackerState, t: TrackInterm, kf_out):
+        """Assemble the three outcomes (keyframe / accepted / rejected)."""
         (rvec_kf, tvec_kf, objp_store, objp_color, objp_group, n_objp_new,
-         can_store, dest_safe, keep_kf) = jax.lax.cond(
-            is_kf, kf_branch, no_kf_branch, None)
+         can_store, dest_safe, keep_kf) = kf_out
+        is_kf, rejected = t.is_kf, t.rejected
 
-        # ---- 6. assemble the three outcomes ----
         def sel(kf_val, acc_val, rej_val):
             return jnp.where(is_kf, kf_val,
                              jnp.where(rejected, rej_val, acc_val))
 
-        active_out = sel(keep_kf, keep, state.active)
+        active_out = sel(keep_kf, t.keep, state.active)
         objp_idx_out = jnp.where(is_kf & can_store,
                                  dest_safe.astype(jnp.int32),
                                  state.objp_idx)
-        cur_uv_out = jnp.where(rejected, state.cur_uv, new_uv)
-        base_uv_out = jnp.where(is_kf, new_uv, state.base_uv)
+        cur_uv_out = jnp.where(rejected, state.cur_uv, t.new_uv)
+        base_uv_out = jnp.where(is_kf, t.new_uv, state.base_uv)
 
         new_state = TrackerState(
             base_uv=base_uv_out,
@@ -315,12 +353,12 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             objp_color=jnp.where(is_kf, objp_color, state.objp_color),
             objp_group=jnp.where(is_kf, objp_group, state.objp_group),
             n_objp=jnp.where(is_kf, n_objp_new, state.n_objp),
-            rvec=sel(rvec_kf, rvec_f, state.rvec),
-            tvec=sel(tvec_kf, tvec_f, state.tvec),
+            rvec=sel(rvec_kf, t.rvec_f, state.rvec),
+            tvec=sel(tvec_kf, t.tvec_f, state.tvec),
             rvec_keyfr=jnp.where(is_kf, rvec_kf, state.rvec_keyfr),
             tvec_keyfr=jnp.where(is_kf, tvec_kf, state.tvec_keyfr),
             group_id=state.group_id,
-            key=key,
+            key=t.key,
         )
 
         out = StepOutput(
@@ -331,18 +369,38 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             track_alive=new_state.active,
             track_triangulated=new_state.triangulated,
             objp_idx=new_state.objp_idx,
-            pnp_inlier=inlier & tri_alive,
+            pnp_inlier=t.inlier & t.tri_alive,
             new_landmarks=is_kf & can_store,
             n_tracks=jnp.sum(new_state.active),
-            lost_ratio=lost_ratio,
-            homography_condition=cond,
-            reject_code=jnp.where(
-                reject_lost, 1, jnp.where(
-                    reject_few, 2, jnp.where(
-                        reject_outl, 3, jnp.where(
-                            reject_rms, 4, 0)))).astype(jnp.int32),
+            lost_ratio=t.lost_ratio,
+            homography_condition=t.cond,
+            reject_code=t.reject_code,
         )
         return new_state, out
+
+    def post_flow(state: TrackerState, new_img_padded, new_uv, st_of,
+                  err_of):
+        """Everything after optical flow: reject ladder, PnP, keyframe
+        logic. Split out so the multi-agent runner can feed flow results
+        from one shared atlas-LK call (see make_multi_agent_runner).
+
+        The keyframe phase runs under lax.cond — skipped on non-keyframes,
+        which is most frames (saves 2 triangulations + a 10-iter pose
+        refine of per-frame latency).  Runners that vmap over agents must
+        instead gate a vmapped kf_phase on any(is_kf) themselves: see
+        make_multi_agent_runner."""
+        t = track_phase(state, new_uv, st_of, err_of)
+        kf_out = jax.lax.cond(
+            t.is_kf,
+            lambda args: kf_phase(*args),
+            lambda args: no_kf_phase(args[0], args[1]),
+            (state, t, new_img_padded))
+        return finalize(state, t, kf_out)
+
+    post_flow.track_phase = track_phase
+    post_flow.kf_phase = kf_phase
+    post_flow.no_kf_phase = no_kf_phase
+    post_flow.finalize = finalize
 
     def step_pyr(state: TrackerState, prev_pyr, new_pyr):
         """Per-frame step over pyramids pre-padded by ``lk.lk_pad(win)``
@@ -417,7 +475,10 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     _, _, step_pyr = make_step(cal, config)
     pad = lk.lk_pad(config.lk_win)
     post_flow = step_pyr.post_flow
-    vpost = jax.vmap(post_flow)
+    vtrack = jax.vmap(post_flow.track_phase)
+    vkf = jax.vmap(post_flow.kf_phase)
+    vno_kf = jax.vmap(post_flow.no_kf_phase)
+    vfinal = jax.vmap(post_flow.finalize)
     vrefill = jax.vmap(lambda s, img: _refill(s, img, config))
     K = config.max_tracks
 
@@ -449,10 +510,18 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             # per-agent padded level-0 tiles for the keyframe color sampling
             Hp0 = new_atlas[0].shape[0] // A
             tiles0 = new_atlas[0].reshape(A, Hp0, new_atlas[0].shape[1])
-            states, out = vpost(states, tiles0,
-                                new_uv.reshape(A, K, 2),
-                                st_of.reshape(A, K),
-                                err_of.reshape(A, K))
+            t = vtrack(states, new_uv.reshape(A, K, 2),
+                       st_of.reshape(A, K), err_of.reshape(A, K))
+            # under vmap a per-agent lax.cond lowers to select (the
+            # keyframe phase — 2 triangulations + a 10-iter pose refine +
+            # landmark scatter — would run EVERY frame for EVERY agent);
+            # gate the vmapped phase on any agent keyframing instead
+            kf_out = jax.lax.cond(
+                jnp.any(t.is_kf),
+                lambda args: vkf(*args),
+                lambda args: vno_kf(args[0], args[1]),
+                (states, t, tiles0))
+            states, out = vfinal(states, t, kf_out)
             kf = out.accepted == 2
 
             def do_refill(states):

@@ -126,35 +126,39 @@ def _interp_weights(pos, win, P):
     return jnp.maximum(0.0, 1.0 - jnp.abs(u))
 
 
-def _window(patch, ay, ax, win):
+def _window(patch, ay, ax, win, prec=_HP):
     """Sample a win x win window at fractional offset (ay, ax) [T] from
-    patches [T, P, P] via two banded matmuls (MXU, f32)."""
-    P = patch.shape[-1]
-    Wy = _interp_weights(ay, win, P)  # [T, win, P]
-    Wx = _interp_weights(ax, win, P)
-    tmp = jnp.einsum("tip,tpq->tiq", Wy, patch, precision=_HP)
-    return jnp.einsum("tiq,tjq->tij", tmp, Wx, precision=_HP)
+    patches [T, Py, Px] via two banded matmuls (MXU).  Patches may be
+    rectangular (the DMA extractor returns extra rows below the window;
+    their interpolation weights are exactly zero)."""
+    Py, Px = patch.shape[-2], patch.shape[-1]
+    Wy = _interp_weights(ay, win, Py)  # [T, win, Py]
+    Wx = _interp_weights(ax, win, Px)
+    tmp = jnp.einsum("tip,tpq->tiq", Wy, patch, precision=prec)
+    return jnp.einsum("tiq,tjq->tij", tmp, Wx, precision=prec)
 
 
-def _window_multi(patches, ay, ax, win):
+def _window_multi(patches, ay, ax, win, prec=_HP):
     """Sample the same win x win window from C patches per track at once.
 
-    patches [T, C, P, P] -> [T, C, win, win]; one einsum pair regardless of
-    C (the per-call op-count is what bounds LK latency on TPU, not FLOPs).
+    patches [T, C, Py, Px] -> [T, C, win, win]; one einsum pair regardless
+    of C (the per-call op-count is what bounds LK latency on TPU, not
+    FLOPs).
     """
-    P = patches.shape[-1]
-    Wy = _interp_weights(ay, win, P)  # [T, win, P]
-    Wx = _interp_weights(ax, win, P)
-    tmp = jnp.einsum("tip,tcpq->tciq", Wy, patches, precision=_HP)
-    return jnp.einsum("tciq,tjq->tcij", tmp, Wx, precision=_HP)
+    Py, Px = patches.shape[-2], patches.shape[-1]
+    Wy = _interp_weights(ay, win, Py)  # [T, win, Py]
+    Wx = _interp_weights(ax, win, Px)
+    tmp = jnp.einsum("tip,tcpq->tciq", Wy, patches, precision=prec)
+    return jnp.einsum("tciq,tjq->tcij", tmp, Wx, precision=prec)
 
 
 @partial(jax.jit, static_argnames=("win", "levels", "iters", "margin",
-                                   "eps", "impl", "interpret"))
+                                   "eps", "impl", "interpret", "precision"))
 def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
              levels: int = 3, iters: int = 30, eps: float = 0.01,
              min_eig_threshold: float = 1e-4, margin: int = 7,
-             impl: str = "xla", interpret: bool = False):
+             impl: str = "xla", interpret: bool = False,
+             precision: str = "default"):
     """Track pts [N, 2] from prev_img to next_img.
 
     Returns (new_pts [N, 2], status [N] bool, err [N] f32). ``err`` is the
@@ -168,7 +172,7 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
                         tuple(build_pyramid(next_img, levels)),
                         pts, pts_valid, win=win, iters=iters, eps=eps,
                         min_eig_threshold=min_eig_threshold, margin=margin,
-                        impl=impl, interpret=interpret)
+                        impl=impl, interpret=interpret, precision=precision)
 
 
 def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
@@ -176,7 +180,8 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                  min_eig_threshold: float = 1e-4, margin: int = 7,
                  impl: str = "xla", interpret: bool = False,
                  prepad: bool = False, atlas_agents=None,
-                 atlas_tiles: int = 1):
+                 atlas_tiles: int = 1, dma_extract=None,
+                 precision: str = "default"):
     """lk_track over prebuilt pyramids (tuples of [H,W] images, level 0 =
     full resolution). Lets sequential trackers reuse the previous frame's
     pyramid: one ``build_pyramid`` per frame instead of two.
@@ -200,6 +205,15 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     levels = len(prev_pyr)
     if pts_valid is None:
         pts_valid = jnp.ones(pts.shape[:-1], dtype=bool)
+    # Window-einsum precision.  "default" (bf16 on the TPU MXU) saves the
+    # 6x f32 pass decomposition on the dominant Newton-loop matmuls;
+    # measured flow deviation vs "highest" is <= 0.07 px (mean 0.008 px) on
+    # rendered imagery — noise next to the tracker's 2 px RANSAC gates and
+    # 12-intensity error gate.  Parity/golden comparisons can pass
+    # "highest".  (CPU backends ignore precision: always exact f32 there.)
+    _prec = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}[precision]
 
     r = win // 2
     P = win + 2 * margin + 1  # patch side; +1 for the interpolation tap
@@ -230,14 +244,50 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                     * (Js[lvl].shape[0] // atlas_tiles)
                     for lvl in range(levels)]
 
+    # ---- extraction backend ----
+    # The DMA path (ops/extract_pallas.py) replaces the strips+one-hot
+    # gather with per-track aligned HBM->VMEM copies — the dominant cost of
+    # this call at atlas track counts.  Levels are edge-padded to the f32
+    # tile (8 rows / 128 lanes) so its clamp bounds match this path's
+    # exactly; only the bottom tile of an atlas gains rows, so per-tile row
+    # offsets are unaffected.
+    if dma_extract is None:
+        dma_extract = (jax.default_backend() == "tpu" and impl == "xla"
+                       and not interpret and dt == jnp.float32)
+    assert not (dma_extract and impl == "pallas"), \
+        "the fused-Newton pallas kernel expects square XLA-extracted patches"
+    if dma_extract:
+        from mqslam_tpu.ops import extract_pallas as _ep
+
+        def _pad_tiles(img):
+            H, W = img.shape
+            Hp = -(-H // 8) * 8
+            Wp = max(-(-W // 128) * 128, 256)
+            if (Hp, Wp) != (H, W):
+                img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
+            return img
+
+        Js = [_pad_tiles(l) for l in Js]
+        Is = [_pad_tiles(l) for l in Is]
+        _interp = interpret or jax.default_backend() != "tpu"
+
     def extract(img_l, anchor, off, m, Pside):
         """Patch at floor(anchor)-r-m in tile coords; ``off`` moves the
-        row into the atlas. Returned corners are back in tile coords."""
+        row into the atlas.  Returns (patch, row_base, cx, row_log) in tile
+        coords: ``row_base`` is the patch's first stored row (what window
+        anchors are measured against), ``row_log`` the clamped logical
+        corner (what drift clips are measured against).  They coincide on
+        the XLA path; the DMA path stores from the 8-aligned row below."""
         corner = jnp.stack([
             jnp.floor(anchor[:, 1]).astype(jnp.int32) - r - m + off,
             jnp.floor(anchor[:, 0]).astype(jnp.int32) - r - m], axis=1)
+        if dma_extract:
+            patch, y0, cx = _ep.extract_patches_dma(img_l, corner, Pside,
+                                                    interpret=_interp)
+            cy_log = jnp.clip(corner[:, 0], 0, img_l.shape[0] - Pside)
+            return patch, y0 - off, cx, cy_log - off
         patch, cy, cx = _extract_patches(img_l, corner, Pside)
-        return patch, cy - off, cx
+        return patch, cy - off, cx, cy - off
 
     # ---- template setup, batched over levels (flow-independent) ----
     p_ls, pJs, ayJs, axJs = [], [], [], []
@@ -245,7 +295,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     for lvl in range(levels):
         H, W = shapes[lvl]
         p_l = pts / (2.0 ** lvl) + pad  # padded coordinates
-        pJ, cyJ, cxJ = extract(Js[lvl], p_l, row_offs[lvl], margin_j, PJ)
+        pJ, cyJ, cxJ, _ = extract(Js[lvl], p_l, row_offs[lvl], margin_j, PJ)
         ayJs.append(p_l[:, 1] - r - cyJ.astype(dt))
         axJs.append(p_l[:, 0] - r - cxJ.astype(dt))
         inside_all = inside_all & jnp.all(
@@ -260,7 +310,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                                  shapes, win, iters, eps, min_eig_threshold,
                                  margin, interpret, row_offs)
 
-    pJ_flat = jnp.stack(pJs).reshape(levels * T, PJ, PJ)
+    pJ_flat = jnp.stack(pJs).reshape((levels * T,) + pJs[0].shape[-2:])
     dxP = jnp.pad(0.5 * (pJ_flat[:, :, 2:] - pJ_flat[:, :, :-2]),
                   ((0, 0), (0, 0), (1, 1)))
     dyP = jnp.pad(0.5 * (pJ_flat[:, 2:, :] - pJ_flat[:, :-2, :]),
@@ -268,7 +318,8 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     # template + gradient windows for ALL levels in ONE einsum pair
     # (latency, not FLOPs, bounds this path)
     wins3 = _window_multi(jnp.stack([pJ_flat, dxP, dyP], axis=1),
-                          jnp.concatenate(ayJs), jnp.concatenate(axJs), win)
+                          jnp.concatenate(ayJs), jnp.concatenate(axJs), win,
+                          prec=_prec)
     wins3 = wins3.reshape(levels, T, 3, win, win)
     Jw_l, dx_l, dy_l = wins3[:, :, 0], wins3[:, :, 1], wins3[:, :, 2]
     g00_l = jnp.sum(dx_l * dx_l, axis=(2, 3))  # [L, T]
@@ -292,7 +343,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         def body(carry):
             q, done, it = carry
             a = q - r - baseI_  # window start in patch coords (x, y)
-            Iw = _window(pI_, a[:, 1], a[:, 0], win)
+            Iw = _window(pI_, a[:, 1], a[:, 0], win, _prec)
             diff = Jw_ - Iw
             b0 = jnp.sum(diff * dx_, axis=(1, 2))
             b1 = jnp.sum(diff * dy_, axis=(1, 2))
@@ -320,10 +371,15 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         g00, g01, g11 = g00_l[lvl], g01_l[lvl], g11_l[lvl]
 
         q0 = p_l + g  # level-start estimate of the tracked position
-        pI, cyI, cxI = extract(Is[lvl], q0, row_offs[lvl], margin, P)
-        baseI = jnp.stack([cxI.astype(dt), cyI.astype(dt)], axis=1)
-        lo = baseI + r
-        hi = baseI + P - 2 - r
+        pI, rowI, cxI, rowIlog = extract(Is[lvl], q0, row_offs[lvl],
+                                         margin, P)
+        # sampling base: where the stored patch rows start; logical base:
+        # the clamped corner the drift clips are measured against (they
+        # differ only on the DMA-extraction path)
+        baseI = jnp.stack([cxI.astype(dt), rowI.astype(dt)], axis=1)
+        baseLog = jnp.stack([cxI.astype(dt), rowIlog.astype(dt)], axis=1)
+        lo = baseLog + r
+        hi = baseLog + P - 2 - r
         q_init0 = jnp.clip(q0, lo, hi)
         done0 = jnp.logical_not(status)
 
@@ -358,7 +414,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     # keeps the converged q inside pI, so one banded window suffices (the
     # re-extraction path cost 2 full-image pads + 2 patch gathers).
     a_fin = q - r - baseI
-    Iw0 = _window(pI, a_fin[:, 1], a_fin[:, 0], win)
+    Iw0 = _window(pI, a_fin[:, 1], a_fin[:, 0], win, _prec)
     err = jnp.mean(jnp.abs(Jw - Iw0), axis=(1, 2))
     status = jnp.logical_and(status, inside_final)
     return new_pts, status, jnp.where(status, err, jnp.inf)
