@@ -24,6 +24,7 @@ class AteResult(NamedTuple):
     rotation: np.ndarray      # [3, 3] aligning model -> data
     translation: np.ndarray   # [3]
     trans_error: np.ndarray   # [n]
+    matches: np.ndarray       # [n, 2] int (est index, gt index) pairs
 
 
 def horn_align(model, data):
@@ -66,7 +67,8 @@ def evaluate_ate(traj_est, traj_gt, max_difference=0.02, offset=0.0,
         min=float(np.min(err)),
         max=float(np.max(err)),
         n_pairs=len(matches),
-        rotation=R, translation=t, trans_error=err)
+        rotation=R, translation=t, trans_error=err,
+        matches=np.asarray(matches, dtype=np.int64).reshape(-1, 2))
 
 
 def evaluate_ate_files(est_file, gt_file, **kw) -> AteResult:

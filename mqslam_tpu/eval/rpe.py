@@ -32,6 +32,8 @@ class RpeResult(NamedTuple):
     n_pairs: int
     trans_errors: np.ndarray
     rot_errors: np.ndarray
+    pair_stamps: np.ndarray    # [n, 4] (stamp_est0, stamp_est1,
+    #                            stamp_gt0, stamp_gt1) per evaluated pair
 
 
 def _se3_of(traj):
@@ -130,13 +132,14 @@ def evaluate_rpe(traj_est, traj_gt, fixed_delta=True, delta=1.0,
     gt_interval = float(np.median(np.diff(ts_gt))) if len(ts_gt) > 1 else 0.0
     gt_max_dt = 2.0 * gt_interval
 
-    te, re = [], []
+    te, re, pair_stamps = [], [], []
     for i, j in pairs:
         gi = _find_closest(ts_gt, ts_est[i] + offset)
         gj = _find_closest(ts_gt, ts_est[j] + offset)
         if (abs(ts_gt[gi] - (ts_est[i] + offset)) > gt_max_dt
                 or abs(ts_gt[gj] - (ts_est[j] + offset)) > gt_max_dt):
             continue
+        pair_stamps.append((ts_est[i], ts_est[j], ts_gt[gi], ts_gt[gj]))
         # literal reference formula (evaluate_rpe.py:285-287 with
         # ominus(a, b) = inv(a) @ b — note the argument order):
         # E = ominus(scale(ominus(est_j, est_i)), ominus(gt_j, gt_i))
@@ -162,4 +165,6 @@ def evaluate_rpe(traj_est, traj_gt, fixed_delta=True, delta=1.0,
         rot_mean=float(np.mean(re)),
         rot_median=float(np.median(re)),
         n_pairs=len(te),
-        trans_errors=te, rot_errors=re)
+        trans_errors=te, rot_errors=re,
+        pair_stamps=np.asarray(pair_stamps, dtype=np.float64
+                               ).reshape(-1, 4))

@@ -73,6 +73,55 @@ class TestPublishedNumbers:
         assert abs(math.degrees(r.rot_rmse) - pub_rot) < 5e-6
 
 
+@needs_ref
+class TestCliOutputs:
+    """The CLI's --plot/--save/--save_associations surfaces
+    (evaluate_ate.py:125-197, evaluate_rpe.py:321-386)."""
+
+    def test_ate_plot_save(self, tmp_path):
+        from mqslam_tpu.cli import evaluate_ate as cli
+        gt = os.path.join(SVO, "traj_groundtruth.txt")
+        est = os.path.join(SVO, "traj_out.cam0-slam2-BA.txt")
+        plot = tmp_path / "ate.pdf"
+        save = tmp_path / "aligned.txt"
+        assoc = tmp_path / "assoc.txt"
+        assert cli.main([gt, est, "--plot", str(plot), "--save", str(save),
+                         "--save_associations", str(assoc)]) == 0
+        assert plot.stat().st_size > 1000
+        aligned = np.loadtxt(save)
+        assert aligned.shape[1] == 4
+        pairs = np.loadtxt(assoc)
+        assert pairs.shape[1] == 8
+        # associations pair gt with the ALIGNED estimate: distances must
+        # reproduce the ATE rmse
+        d = np.linalg.norm(pairs[:, 1:4] - pairs[:, 5:8], axis=1)
+        r = ate.evaluate_ate(tum.load_trajectory(est),
+                             tum.load_trajectory(gt))
+        assert abs(np.sqrt(np.mean(d ** 2)) - r.rmse) < 1e-9
+
+    def test_rpe_plot_save(self, tmp_path):
+        from mqslam_tpu.cli import evaluate_rpe as cli
+        gt = os.path.join(SVO, "traj_groundtruth.txt")
+        est = os.path.join(SVO, "traj_out.cam0-slam2-BA.txt")
+        plot = tmp_path / "rpe.pdf"
+        save = tmp_path / "rpe.txt"
+        assert cli.main([gt, est, "--fixed_delta", "--plot", str(plot),
+                         "--save", str(save)]) == 0
+        assert plot.stat().st_size > 1000
+        rows = np.loadtxt(save)
+        assert rows.shape[1] == 6
+        r = rpe.evaluate_rpe(tum.load_trajectory(est),
+                             tum.load_trajectory(gt), fixed_delta=True)
+        assert abs(np.sqrt(np.mean(rows[:, 4] ** 2)) - r.trans_rmse) < 1e-9
+
+    def test_rpe_plot_requires_fixed_delta(self, tmp_path):
+        from mqslam_tpu.cli import evaluate_rpe as cli
+        with pytest.raises(SystemExit):
+            cli.main([os.path.join(SVO, "traj_groundtruth.txt"),
+                      os.path.join(SVO, "traj_out.cam0-slam2-BA.txt"),
+                      "--plot", str(tmp_path / "x.png")])
+
+
 class TestAlignment:
     def test_anchored_transform_roundtrip(self, rng):
         from scipy.spatial.transform import Rotation
