@@ -163,7 +163,10 @@ def bench_lk_impls(imgs, n_scan=30, repeats=3):
 
 def bench_ba_iters(max_iters=15, repeats=2):
     """LM iterations/s on the reference's real SVO slam2 dump (falls back
-    to the synthetic 2-robot cube when the dump is not mounted)."""
+    to the synthetic 2-robot cube when the dump is not mounted).
+
+    Uses lm_solve's default solver — the dense-Schur direct path
+    (ba/solver.py solve_delta_dense) at this problem size."""
     import jax
     import jax.numpy as jnp
     from mqslam_tpu.ba import problem as bp, solver as bs, synthetic as bsyn
@@ -180,13 +183,13 @@ def bench_ba_iters(max_iters=15, repeats=2):
     prob = bp.problem_from_ba_data(data)
     prob = prob._replace(odo_valid=jnp.zeros_like(prob.odo_valid))
     _log(f"compiling BA solver ({src})")
-    bs.lm_solve(prob, max_iters=2, cg_iters=1000)  # warm the executables
+    bs.lm_solve(prob, max_iters=2)  # warm the executables
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        bs.lm_solve(prob, max_iters=max_iters, cg_iters=1000)
+        _, hist = bs.lm_solve(prob, max_iters=max_iters)
         best = min(best, time.perf_counter() - t0)
-    return round(max_iters / best, 3), src
+    return round((len(hist) - 1) / best, 3), src
 
 
 def bench_opencv_baseline(imgs, P_list, f, size, plane_z):

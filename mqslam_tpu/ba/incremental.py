@@ -74,22 +74,28 @@ def activation_steps(data, problem: BAProblem):
 def incremental_solve(data, problem: BAProblem, use_odometry=True,
                       iters_per_step=2, full_lm_iters=10,
                       cg_iters=300, lam0=1e-4, verbose=False,
-                      max_steps=None):
+                      max_steps=None, method="auto"):
     """Run the step-batched incremental BA. Returns (variables, cost_history).
 
     Mirrors the reference's control flow: full LM when the second landmark
     batch appears (and at the final step), incremental updates otherwise.
-    ``max_steps`` truncates the run (testing hook).
+    ``max_steps`` truncates the run (testing hook). ``method`` as in
+    lm_solve — per-step masks are traced data, so the dense path too reuses
+    one compiled (linearize, solve) pair across all steps.
 
     Real-data note: the reference's iSAM1/iSAM2 modes throw
     IndeterminantLinearSystemException on its own slam2 dumps and the
     thesis fell back to full batch LM (bundle_adjustment/ReadMe.txt "for
     the moment, the incremental approaches fail"). This step-batched
-    masked-LM formulation COMPLETES on the same real SVO dump (58 s on a
-    v5e, one compiled linearize/solve pair reused for every step) and
-    improves the trajectory: ATE 0.234 m vs the 0.395 m front-end input
-    (full LM + f64 polish remains the accuracy path at 0.0214 m).
+    masked-LM formulation COMPLETES on the same real SVO dump (~2 min on a
+    v5e, one compiled linearize/solve pair reused for every step) and with
+    the exact dense per-step solves reaches ATE 0.027 m — the accuracy
+    class of the full batch result (0.021), from the 0.395 m front-end
+    input. (The truncated-CG per-step variant stalled at 0.234 m; exact
+    Newton steps matter even more incrementally than in batch.)
     """
+    if method == "auto":
+        method = "dense" if problem.n_poses * 6 <= 4096 else "cg"
     obs_step, odo_step, pose_step, point_step = activation_steps(data,
                                                                  problem)
     S = data.nr_steps
@@ -122,8 +128,12 @@ def incremental_solve(data, problem: BAProblem, use_odometry=True,
             lin = bs.linearize(ps, v)
             accepted = False
             for _ in range(5):
-                dc, dp = bs.solve_delta(ps, lin, jnp.float32(lam),
-                                        cg_iters=cg_iters, cg_tol=1e-10)
+                if method == "dense":
+                    dc, dp = bs.solve_delta_dense(ps, lin, jnp.float32(lam))
+                else:
+                    dc, dp, _ = bs.solve_delta(ps, lin, jnp.float32(lam),
+                                               cg_iters=cg_iters,
+                                               cg_tol=1e-10)
                 v_try = bs.apply_delta(v, dc, dp)
                 nc = float(bs.compute_cost(ps, v_try))
                 if nc < cost:

@@ -77,9 +77,9 @@ def make_sharded_lm_iteration(mesh: Mesh, cg_iters: int = 200,
 
     def _iteration(problem, v, lam):
         lin = ba_solver.linearize(problem, v, axis_name=axis)
-        dc, dp = ba_solver.solve_delta(problem, lin, lam,
-                                       cg_iters=cg_iters, cg_tol=cg_tol,
-                                       axis_name=axis)
+        dc, dp, _ = ba_solver.solve_delta(problem, lin, lam,
+                                          cg_iters=cg_iters, cg_tol=cg_tol,
+                                          axis_name=axis)
         return dc, dp, lin.cost
 
     sharded = jax.shard_map(

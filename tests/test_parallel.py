@@ -36,8 +36,8 @@ class TestShardedBA:
     def test_single_iteration_agrees(self, cube_problem):
         prob = cube_problem
         lin = bs.linearize(prob, prob.init)
-        dc1, dp1 = bs.solve_delta(prob, lin, jnp.float32(1e-4),
-                                  cg_iters=400)
+        dc1, dp1, _ = bs.solve_delta(prob, lin, jnp.float32(1e-4),
+                                     cg_iters=400)
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
         prob_s = shard_problem_for_mesh(prob, mesh)
         lm_iter = make_sharded_lm_iteration(mesh, cg_iters=400)
