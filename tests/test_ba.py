@@ -47,6 +47,34 @@ class TestSyntheticCubeExample:
         assert history[-1] < history[0] * 0.1
         assert np.isfinite(history[-1])
 
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_dense_and_cg_agree_under_masking(self, synthetic_problem,
+                                              seed):
+        """Agreement must survive structural edge cases: randomly
+        invalidated observations/odometry (leaving some poses obs-free and
+        some landmarks single-observation) and a masked pose."""
+        _, prob = synthetic_problem
+        rng = np.random.RandomState(seed)
+        obs_valid = np.asarray(prob.obs_valid) & (
+            rng.rand(prob.obs_valid.shape[0]) > 0.4)
+        odo_valid = np.asarray(prob.odo_valid) & (
+            rng.rand(prob.odo_valid.shape[0]) > 0.5)
+        pose_valid = np.asarray(prob.pose_valid).copy()
+        pose_valid[rng.randint(1, prob.n_poses)] = False
+        prob = prob._replace(obs_valid=jnp.asarray(obs_valid),
+                             odo_valid=jnp.asarray(odo_valid),
+                             pose_valid=jnp.asarray(pose_valid))
+        lin = ba_solver.linearize(prob, prob.init)
+        dcd, dpd = ba_solver.solve_delta_dense(prob, lin, jnp.float32(1e-3))
+        dcc, dpc, _ = ba_solver.solve_delta(prob, lin, jnp.float32(1e-3),
+                                            cg_iters=3000, cg_tol=1e-12)
+        assert np.isfinite(np.asarray(dcd)).all()
+        scale = max(float(jnp.abs(dcc).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(dcd), np.asarray(dcc),
+                                   atol=5e-3 * scale)
+        # the masked pose must not move
+        assert float(jnp.abs(dcd[np.flatnonzero(~pose_valid)]).max()) == 0.0
+
     def test_dense_and_cg_solves_agree(self, synthetic_problem):
         """solve_delta_dense must produce the same Newton step as the
         matrix-free CG path (incl. the odometry cross blocks — the cube
