@@ -192,8 +192,22 @@ def bench_ba_iters(max_iters=15, repeats=2):
     return round((len(hist) - 1) / best, 3), src
 
 
-def bench_opencv_baseline(imgs, P_list, f, size, plane_z):
-    """The reference's per-frame kernel ladder via OpenCV on host CPU."""
+def bench_opencv_baseline(imgs, P_list, f, size, plane_z, passes=2):
+    """The reference's per-frame kernel ladder via OpenCV on host CPU.
+
+    Best (fastest) of ``passes`` runs — host scheduling noise moves a
+    single pass by ~10%, and the faster baseline is the conservative
+    comparison for vs_baseline."""
+    best = None
+    for _ in range(passes):
+        fps = _opencv_ladder_once(imgs, P_list, f, size, plane_z)
+        if fps is None:
+            return None
+        best = fps if best is None else max(best, fps)
+    return best
+
+
+def _opencv_ladder_once(imgs, P_list, f, size, plane_z):
     try:
         import cv2
     except Exception:
