@@ -71,25 +71,32 @@ def _kernel(aJ_ref, a0_ref, pJ_ref, pI_ref, out_ref, eig_ref, err_ref,
     lo = jnp.float32(0.0)
     hi = jnp.float32(patch - 2 - win)
 
-    def body(_, carry):
-        ay, ax, done = carry
+    def cond(carry):
+        _, _, done, it = carry
+        return (it < iters) & (done == 0)
+
+    def body(carry):
+        ay, ax, done, it = carry
         Iw = _lerp_window(pI_ref, ay, ax, win)
         diff = Jw - Iw
         b0 = jnp.sum(diff * dx)
         b1 = jnp.sum(diff * dy)
         sx = (g11 * b0 - g01 * b1) / det_safe
         sy = (g00 * b1 - g01 * b0) / det_safe
-        sx = jnp.where(done > 0, 0.0, sx)
-        sy = jnp.where(done > 0, 0.0, sy)
         ax2 = jnp.clip(ax + sx, lo, hi)
         ay2 = jnp.clip(ay + sy, lo, hi)
-        done2 = jnp.where(sx * sx + sy * sy < eps * eps, jnp.int32(1), done)
-        return ay2, ax2, done2
+        done2 = jnp.where(sx * sx + sy * sy < eps * eps, jnp.int32(1),
+                          done)
+        return ay2, ax2, done2, it + 1
 
     ay0 = a0_ref[0, 0, 0]
     ax0 = a0_ref[0, 0, 1]
-    ay, ax, _ = jax.lax.fori_loop(
-        0, iters, body, (ay0, ax0, jnp.int32(0)))
+    # per-track convergence EXIT (not just masking): most tracks converge
+    # in 2-4 iterations, and inside the kernel each saved iteration saves
+    # a real window sample — unlike the batched XLA form, where one slow
+    # track keeps the whole batch iterating
+    ay, ax, _, _ = jax.lax.while_loop(
+        cond, body, (ay0, ax0, jnp.int32(0), jnp.int32(0)))
     out_ref[0, 0, 0] = ay
     out_ref[0, 0, 1] = ax
     # final window error (mean |diff|) for the OF-error gate
