@@ -165,8 +165,11 @@ def bench_ba_iters(max_iters=15, repeats=2):
     """LM iterations/s on the reference's real SVO slam2 dump (falls back
     to the synthetic 2-robot cube when the dump is not mounted).
 
-    Uses lm_solve's default solver — the dense-Schur direct path
-    (ba/solver.py solve_delta_dense) at this problem size."""
+    Headline = lm_solve_device (the whole LM outer loop as ONE device
+    dispatch, ba/solver.py::_lm_device_loop) — on a tunneled backend the
+    host-controlled loop pays ~30-45 ms RTT per iteration, which measures
+    the link, not the solver. The host-loop number is reported alongside.
+    Both use the dense-Schur direct path at this problem size."""
     import jax
     import jax.numpy as jnp
     from mqslam_tpu.ba import problem as bp, solver as bs, synthetic as bsyn
@@ -183,13 +186,23 @@ def bench_ba_iters(max_iters=15, repeats=2):
     prob = bp.problem_from_ba_data(data)
     prob = prob._replace(odo_valid=jnp.zeros_like(prob.odo_valid))
     _log(f"compiling BA solver ({src})")
-    bs.lm_solve(prob, max_iters=2)  # warm the executables
-    best = np.inf
+    bs.lm_solve(prob, max_iters=2)  # warm the shared executables
+    best_host = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
         _, hist = bs.lm_solve(prob, max_iters=max_iters)
-        best = min(best, time.perf_counter() - t0)
-    return round((len(hist) - 1) / best, 3), src
+        best_host = min(best_host, time.perf_counter() - t0)
+    host_ips = round((len(hist) - 1) / best_host, 3)
+
+    _log("compiling device-resident LM loop")
+    bs.lm_solve_device(prob, max_iters=max_iters)  # compile
+    best_dev = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _, hist_d, n_iters = bs.lm_solve_device(prob, max_iters=max_iters)
+        best_dev = min(best_dev, time.perf_counter() - t0)
+    dev_ips = round(max(n_iters, 1) / best_dev, 3)
+    return dev_ips, host_ips, src
 
 
 def bench_opencv_baseline(imgs, P_list, f, size, plane_z, passes=2):
@@ -275,8 +288,9 @@ def main():
     lk_ms = bench_lk_impls(imgs)
     _log(f"LK per-call latency ms: {lk_ms}")
 
-    ba_ips, ba_src = bench_ba_iters()
-    _log(f"BA: {ba_ips} LM iterations/s on {ba_src}")
+    ba_ips, ba_host_ips, ba_src = bench_ba_iters()
+    _log(f"BA: {ba_ips} LM iterations/s device-loop "
+         f"({ba_host_ips} host-loop) on {ba_src}")
 
     base = bench_opencv_baseline(imgs, P_list, f, size, plane_z)
     if base is None:
@@ -296,6 +310,7 @@ def main():
             "agents_scaling_fps": {str(k): v for k, v in scaling.items()},
             "single_agent_vs_cv2": round(fps1 / base, 3),
             "ba_lm_iterations_per_s": ba_ips,
+            "ba_lm_iterations_per_s_host_loop": ba_host_ips,
             "ba_workload": ba_src,
             "lk_per_call_ms": lk_ms,
             "cv2_ladder_fps_host": round(base, 3),

@@ -95,7 +95,7 @@ def incremental_solve(data, problem: BAProblem, use_odometry=True,
     Newton steps matter even more incrementally than in batch.)
     """
     if method == "auto":
-        method = "dense" if problem.n_poses * 6 <= 4096 else "cg"
+        method = "dense" if bs.dense_method_ok(problem) else "cg"
     obs_step, odo_step, pose_step, point_step = activation_steps(data,
                                                                  problem)
     S = data.nr_steps

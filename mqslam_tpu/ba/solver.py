@@ -43,6 +43,22 @@ __all__ = ["linearize", "solve_delta", "solve_delta_dense", "apply_delta", "comp
 
 _HP = jax.lax.Precision.HIGHEST  # exact-f32 MXU passes for dense matmuls
 
+# Auto-method gates for the dense-Schur path. Besides the [6F, 6F] reduced
+# system, solve_delta_dense materializes two [F*P, 6, 3] f32 transients
+# (W and WH) — O(F*P) memory regardless of F — so "auto" must also bound
+# F*P or a landmark-heavy graph (e.g. F=600, P=100k => ~5 GB) would OOM a
+# 16 GB chip even though 6F fits. 8Mi pairs keeps the pair of transients
+# around 1.2 GB. The same bound keeps the flat int32 scatter index
+# obs_pose * P + obs_point well inside 2^31.
+_DENSE_MAX_POSE_DIM = 4096
+_DENSE_MAX_FP = 8 * 1024 * 1024
+
+
+def dense_method_ok(problem: "BAProblem") -> bool:
+    """True when solve_delta_dense is safe/sensible for this problem size."""
+    return (problem.n_poses * 6 <= _DENSE_MAX_POSE_DIM
+            and problem.n_poses * problem.n_points <= _DENSE_MAX_FP)
+
 
 # Tiny block contractions as broadcast+sum (full f32 on TPU — einsum forms
 # would lower to bf16 dot_general, see core.smallmat).
@@ -310,6 +326,12 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     b = b * pose_mask
 
     # ---- block-Jacobi preconditioner: exact 6x6 diagonal blocks of B ----
+    # Exactness (and hence guaranteed SPD-ness) of these blocks relies on at
+    # most ONE observation per (pose, point) pair — then
+    # sum_obs A Hpp^-1 A^T == W_fp Hpp^-1 W_fp^T blockwise. This is an
+    # invariant of the BA data model (each landmark is measured once per
+    # frame) enforced by ba.validate.validate_data_integrity; with
+    # duplicates the preconditioner degrades but CG itself stays correct.
     eye6 = jnp.eye(6, dtype=jnp.float32)
     Hpp_inv = linalg.inv3x3(Hpp_d) * point_mask[..., None]  # [P, 3, 3]
     # per-observation W block A = Jp^T Jpt [O, 6, 3] and its Schur
@@ -384,6 +406,11 @@ def solve_delta_dense(problem: BAProblem, lin: Linearization, lam):
     """
     F = problem.n_poses
     P = problem.n_points
+    # the flat scatter index below is int32; shapes are static so this is
+    # a trace-time check (lm_solve's "auto" stays far below via dense_method_ok)
+    assert F * P < 2 ** 31, (
+        f"dense path scatter index overflows int32 (F*P = {F * P}); "
+        "use method='cg'")
     n = F * 6
     pose_mask = lin.pose_free[:, None].astype(jnp.float32)
     point_mask = lin.point_free[:, None].astype(jnp.float32)
@@ -477,8 +504,9 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
     """Levenberg-Marquardt outer loop (host-controlled accept/reject).
 
     method: "dense" (direct dense-Schur Cholesky, see solve_delta_dense),
-    "cg" (matrix-free Schur + PCG), or "auto" — dense whenever the reduced
-    camera system fits comfortably (6F <= 4096).
+    "cg" (matrix-free Schur + PCG), or "auto" — dense whenever both the
+    reduced camera system (6F) and the dense path's O(F*P) W transients fit
+    comfortably (dense_method_ok).
 
     Accuracy note: weakly-constrained SLAM chains have long, nearly-flat
     valleys (monocular drift modes). Walking them to the right basin needs
@@ -493,7 +521,7 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
     0.021598).
     """
     if method == "auto":
-        method = "dense" if problem.n_poses * 6 <= 4096 else "cg"
+        method = "dense" if dense_method_ok(problem) else "cg"
     v = v0 or problem.init
     lam = lam0
     cost = float(compute_cost(problem, v))
@@ -525,6 +553,91 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
                 history[-2] - history[-1]) < rtol * max(history[-2], 1e-30):
             break
     return v, history
+
+
+@partial(jax.jit, static_argnames=("max_iters", "max_retries", "method",
+                                   "cg_iters"))
+def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
+                    lam0, lam_up, lam_down, max_retries: int, method: str,
+                    cg_iters: int, cg_tol):
+    def solve(lin, lam):
+        if method == "dense":
+            return solve_delta_dense(problem, lin, lam)
+        dc, dp, _ = solve_delta(problem, lin, lam, cg_iters=cg_iters,
+                                cg_tol=cg_tol)
+        return dc, dp
+
+    def v_where(pred, a: BAVariables, b: BAVariables) -> BAVariables:
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(pred, x, y), a, b)
+
+    def attempt_body(st):
+        k, lam, accepted, v, cost, lin = st
+        dc, dp = solve(lin, lam)
+        v_try = apply_delta(v, dc, dp)
+        new_cost = compute_cost(problem, v_try)
+        ok = new_cost < cost
+        v = v_where(ok, v_try, v)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
+                        jnp.minimum(lam * lam_up, 1e6))
+        return k + 1, lam, accepted | ok, v, cost, lin
+
+    def attempt_cond(st):
+        k, _, accepted, *_ = st
+        return (k < max_retries) & ~accepted
+
+    def outer_body(st):
+        it, v, lam, cost, _, hist = st
+        lin = linearize(problem, v)
+        _, lam, accepted, v, cost, _ = jax.lax.while_loop(
+            attempt_cond, attempt_body,
+            (jnp.int32(0), lam, jnp.bool_(False), v, cost, lin))
+        hist = hist.at[it + 1].set(cost)
+        return it + 1, v, lam, cost, accepted, hist
+
+    def outer_cond(st):
+        it, _, _, _, improving, _ = st
+        return (it < max_iters) & improving
+
+    cost0 = compute_cost(problem, v0)
+    hist = jnp.full(max_iters + 1, jnp.nan, jnp.float32).at[0].set(cost0)
+    it, v, _, cost, _, hist = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), v0, jnp.float32(lam0), cost0, jnp.bool_(True), hist))
+    return v, hist, it
+
+
+def lm_solve_device(problem: BAProblem, v0: BAVariables = None,
+                    max_iters: int = 60, lam0: float = 1e-6,
+                    lam_up: float = 8.0, lam_down: float = 2.0,
+                    max_retries: int = 6, cg_iters: int = 1000,
+                    cg_tol: float = 1e-10, method: str = "auto"):
+    """lm_solve with the ENTIRE outer loop on device (lax.while_loop).
+
+    Same LM policy as lm_solve (linearize once per outer iteration, up to
+    ``max_retries`` lambda-escalation solve attempts against that
+    linearization, multiplicative lambda schedule, stop when no attempt
+    improves) but zero host round-trips: one dispatch runs all iterations.
+    On a tunneled TPU backend the host loop pays ~30-45 ms of RTT + sync
+    per iteration (~22 LM iterations/s on the reference's real SVO dump);
+    this path is bounded by the solver math instead. The cost trajectory
+    can differ from lm_solve only through f32 accept-comparison roundoff
+    (host compares Python floats, this compares on-device f32 — same
+    values).
+
+    Returns (v, history_list, n_iters) with history trimmed to the
+    accepted-iteration prefix, matching lm_solve's history semantics.
+    """
+    if method == "auto":
+        method = "dense" if dense_method_ok(problem) else "cg"
+    v = v0 or problem.init
+    v, hist, it = _lm_device_loop(problem, v, max_iters,
+                                  jnp.float32(lam0), jnp.float32(lam_up),
+                                  jnp.float32(lam_down), max_retries, method,
+                                  cg_iters, jnp.float32(cg_tol))
+    n = int(it)
+    return v, [float(h) for h in hist[:n + 1]], n
 
 
 # alias used by the package __init__

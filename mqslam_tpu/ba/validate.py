@@ -36,6 +36,10 @@ def validate_data_integrity(data):
                                   f"frames, want {S}")
 
     added = np.zeros(P, dtype=bool)
+    seen_pairs = set()  # (camera, frame, landmark) must be unique: the
+    # solvers' block-Jacobi preconditioner forms the exact Schur diagonal
+    # per observation (solver.py), which is only the true diagonal block
+    # when each (pose, point) pair carries at most one observation.
     for s in range(S):
         for idx in data.point3D_added_idxs[s]:
             if not (0 <= idx < P):
@@ -59,6 +63,12 @@ def validate_data_integrity(data):
                         raise ValidationError(
                             f"assoc references landmark {p3} not yet added"
                             " (DataStructures.hpp:156-158)")
+                    if (c, f, p3) in seen_pairs:
+                        raise ValidationError(
+                            f"duplicate observation of landmark {p3} in "
+                            f"camera {c} frame {f}: one observation per "
+                            "(pose, point) pair required")
+                    seen_pairs.add((c, f, p3))
         if s < len(data.odometry_assocs):
             for k, (fc, ff, tc, tf) in enumerate(data.odometry_assocs[s]):
                 for (cc, f) in ((fc, ff), (tc, tf)):

@@ -71,17 +71,20 @@ def main(argv=None):
         gt_xyz = np.asarray(gt.locations, dtype=np.float64)
         i1, i2 = res.matches[:, 0], res.matches[:, 1]
 
+    # fixed-point %f formatting matches the reference tool's output format
+    # (evaluate_ate.py:167-172) — repr-style f"{v}" may emit scientific
+    # notation (1e-05) that TUM-format consumers misparse
     if args.save:
         with open(args.save, "w") as f:
             for ts, p in zip(est.timestamps, est_aligned):
-                f.write(f"{ts} " + " ".join(f"{v}" for v in p) + "\n")
+                f.write(f"{ts:f} " + " ".join(f"{v:f}" for v in p) + "\n")
     if args.save_associations:
         with open(args.save_associations, "w") as f:
             for a, b in zip(i2, i1):
-                f.write(f"{gt.timestamps[a]} "
-                        + " ".join(f"{v}" for v in gt_xyz[a])
-                        + f" {est.timestamps[b]} "
-                        + " ".join(f"{v}" for v in est_aligned[b]) + "\n")
+                f.write(f"{gt.timestamps[a]:f} "
+                        + " ".join(f"{v:f}" for v in gt_xyz[a])
+                        + f" {est.timestamps[b]:f} "
+                        + " ".join(f"{v:f}" for v in est_aligned[b]) + "\n")
     if args.plot:
         import matplotlib
         matplotlib.use("Agg")

@@ -49,8 +49,9 @@ def main(argv=None):
         with open(args.save, "w") as f:
             for stamps, t_e, r_e in zip(res.pair_stamps, res.trans_errors,
                                         res.rot_errors):
-                f.write(" ".join(f"{s}" for s in stamps)
-                        + f" {t_e} {r_e}\n")
+                # %f fixed-point, matching the reference (evaluate_rpe.py:347)
+                f.write(" ".join(f"{s:f}" for s in stamps)
+                        + f" {t_e:f} {r_e:f}\n")
     if args.plot:
         import math
 

@@ -347,7 +347,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     tail_cap = 256
 
     def newton(qi, done, pI_, baseI_, Jw_, dx_, dy_, g00_, g01_, g11_,
-               lo_, hi_, n_iters, use_while):
+               lo_, hi_, n_iters):
         def body(carry):
             q, done, it = carry
             a = q - r - baseI_  # window start in patch coords (x, y)
@@ -364,13 +364,10 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
             done = done | (jnp.sum(step * step, axis=-1) < eps * eps)
             return q2, done, it + 1
 
-        if use_while:
-            def cond(carry):
-                _, done, it = carry
-                return (it < n_iters) & ~jnp.all(done)
-            return jax.lax.while_loop(cond, body, (qi, done, jnp.int32(0)))
-        return jax.lax.fori_loop(
-            0, n_iters, lambda i, c: body(c), (qi, done, jnp.int32(0)))
+        def cond(carry):
+            _, done, it = carry
+            return (it < n_iters) & ~jnp.all(done)
+        return jax.lax.while_loop(cond, body, (qi, done, jnp.int32(0)))
 
     g = jnp.zeros_like(pts)  # flow estimate at current level scale
     for lvl in range(levels - 1, -1, -1):
@@ -393,10 +390,10 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
 
         if T < 4 * tail_cap or iters <= head_iters:
             q, _, _ = newton(q_init0, done0, pI, baseI, Jw, dx, dy,
-                             g00, g01, g11, lo, hi, iters, True)
+                             g00, g01, g11, lo, hi, iters)
         else:
             q, done, _ = newton(q_init0, done0, pI, baseI, Jw, dx, dy,
-                                g00, g01, g11, lo, hi, head_iters, True)
+                                g00, g01, g11, lo, hi, head_iters)
             # finish the unconverged tail compactly (if more than tail_cap
             # are unconverged the extras keep their head-phase flow; the
             # per-frame error gate downstream rejects any stragglers)
@@ -406,7 +403,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
             qc, dc, _ = newton(q[sel], ~live, pI[sel], baseI[sel], Jw[sel],
                                dx[sel], dy[sel], g00[sel], g01[sel],
                                g11[sel], lo[sel], hi[sel],
-                               iters - head_iters, True)
+                               iters - head_iters)
             q = q.at[sel].set(jnp.where(live[:, None], qc, q[sel]))
         g_new = q - p_l  # pad offset cancels (both in padded coords)
         g = g_new * 2.0 if lvl > 0 else g_new

@@ -197,8 +197,12 @@ class TestRealDataSVO:
         res = ate_mod.evaluate_ate(traj_of(v), gt, max_difference=0.011)
         # f32 LM alone lands in the GTSAM basin (published: 0.021598 BA /
         # 0.395356 front-end input; within the basin's flat valley the f32
-        # stopping point wanders a few mm — the f64 polish below settles it)
-        assert res.rmse < 0.035, res.rmse
+        # stopping point wanders a few mm — the f64 polish below settles it).
+        # Measured stopping ATE on this CPU suite: dense 0.0303, cg 0.0309
+        # (the TPU backend wanders further, dense 0.053 / cg 0.027 — same
+        # final cost to 4 digits; tests run on CPU via conftest). Gate at
+        # measured + ~10% so genuine drift is caught.
+        assert res.rmse < 0.033, res.rmse
 
         # the f64 finishing pass must BEAT the GTSAM golden: the valley
         # continues below the f32 cost-resolution floor (ba/polish64.py;
@@ -228,3 +232,36 @@ class TestRealDataSVO:
         assert len(hist) == 40
         assert np.isfinite(hist).all()
         assert np.isfinite(np.asarray(v.pose_t)).all()
+
+
+@needs_ref
+class TestDeviceLoop:
+    """lm_solve_device (ba/solver.py): the whole LM outer loop as one
+    lax.while_loop dispatch must follow the same accept/reject policy as
+    the host-controlled lm_solve."""
+
+    @pytest.mark.parametrize("method", ["dense", "cg"])
+    def test_matches_host_loop(self, synthetic_problem, method):
+        _, prob = synthetic_problem
+        v_h, hist_h = ba_solver.lm_solve(prob, max_iters=12, method=method,
+                                         cg_iters=200)
+        v_d, hist_d, n = ba_solver.lm_solve_device(
+            prob, max_iters=12, method=method, cg_iters=200)
+        assert n == len(hist_d) - 1
+        # same policy, same f32 math -> same accepted-cost trajectory up to
+        # accumulation-order roundoff
+        m = min(len(hist_h), len(hist_d))
+        np.testing.assert_allclose(hist_h[:m], hist_d[:m], rtol=5e-3)
+        assert hist_d[-1] < hist_d[0] * 0.1
+        np.testing.assert_allclose(np.asarray(v_d.pose_t),
+                                   np.asarray(v_h.pose_t), atol=5e-3)
+
+    def test_respects_masking(self, synthetic_problem):
+        _, prob = synthetic_problem
+        pose_valid = np.asarray(prob.pose_valid).copy()
+        pose_valid[3] = False
+        prob = prob._replace(pose_valid=jnp.asarray(pose_valid))
+        v, hist, _ = ba_solver.lm_solve_device(prob, max_iters=5)
+        np.testing.assert_array_equal(np.asarray(v.pose_t)[3],
+                                      np.asarray(prob.init.pose_t)[3])
+        assert hist[-1] <= hist[0]
