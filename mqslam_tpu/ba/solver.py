@@ -636,8 +636,11 @@ def lm_solve_device(problem: BAProblem, v0: BAVariables = None,
                                   jnp.float32(lam0), jnp.float32(lam_up),
                                   jnp.float32(lam_down), max_retries, method,
                                   cg_iters, jnp.float32(cg_tol))
-    n = int(it)
-    return v, [float(h) for h in hist[:n + 1]], n
+    # ONE bulk transfer: per-element float(h) fetches would each pay the
+    # tunneled backend's ~30 ms round-trip and dominate the whole solve
+    hist_np, n = jax.device_get((hist, it))
+    n = int(n)
+    return v, [float(h) for h in hist_np[:n + 1]], n
 
 
 # alias used by the package __init__
