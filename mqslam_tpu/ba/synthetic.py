@@ -172,3 +172,141 @@ def ground_truth_trajectories(nr_cameras=1, nr_frames=20):
     """Noise-free cam-to-world pose lists (for test assertions)."""
     data = generate_cube_scenario(nr_cameras, nr_frames, noisy=False)
     return [[W for (W, t) in data.poses[c]] for c in range(nr_cameras)]
+
+
+def generate_corridor_problem(nr_frames=512, points_per_frame=24,
+                              obs_window=8, seed=0, pad_multiple=128,
+                              px_noise=0.6, point_noise=0.10,
+                              pose_rot_noise=0.01, pose_t_noise=0.05):
+    """Production-scale synthetic BA problem built directly as a BAProblem.
+
+    A single camera sweeps a circular corridor (radius 30 m) looking along
+    the tangent; each frame spawns ``points_per_frame`` landmarks 2-8 m
+    ahead inside its frustum, and each landmark is observed by the
+    ``obs_window`` consecutive poses around its spawn frame — the
+    co-visibility structure of a real exploratory SLAM trajectory (compare
+    the reference's orbit scenario, GenerateData.hpp:79-306, which at 20
+    frames / 8 landmarks cannot exercise scale). Everything is vectorized
+    NumPy; F=4096 / P=100k / O=800k builds in seconds.
+
+    Returns (problem, v_true): the BAProblem with noisy initial values and
+    the ground-truth variables for error accounting.
+    """
+    from scipy.spatial.transform import Rotation
+
+    import jax.numpy as jnp
+    from mqslam_tpu.ba.problem import BAProblem, BAVariables, _pad
+
+    rng = np.random.RandomState(seed)
+    F = nr_frames
+    P = F * points_per_frame
+    # fixed 0.4 m arc step per frame: co-visibility (and hence the obs
+    # survival rate of the behind-camera cull) is independent of F
+    radius = F * 0.4 / (2 * np.pi)
+    theta = np.arange(F) * (2 * np.pi / F)
+
+    # cam-to-world: z = forward along the tangent, y = down
+    eye = np.stack([radius * np.cos(theta), radius * np.sin(theta),
+                    np.zeros(F)], axis=1)
+    zc = np.stack([-np.sin(theta), np.cos(theta), np.zeros(F)], axis=1)
+    up = np.array([0.0, 0.0, -1.0])
+    xc = np.cross(zc, np.broadcast_to(up, zc.shape))
+    xc /= np.linalg.norm(xc, axis=1, keepdims=True)
+    yc = np.cross(zc, xc)
+    R_wc = np.stack([xc, yc, zc], axis=2)          # [F, 3, 3] columns
+
+    cal = np.array([500.0, 500.0, 0.0, 320.0, 240.0, 0, 0, 0, 0])
+
+    # landmarks: spawned in the spawning frame's frustum, depth 2-8 m
+    spawn = np.repeat(np.arange(F), points_per_frame)          # [P]
+    depth = rng.uniform(2.0, 8.0, P)
+    u = rng.uniform(40.0, 600.0, P)
+    v = rng.uniform(40.0, 440.0, P)
+    xn = (u - cal[3]) / cal[0]
+    yn = (v - cal[4]) / cal[1]
+    dirs = np.stack([xn, yn, np.ones(P)], axis=1)              # cam coords
+    X = (eye[spawn] + np.einsum("pij,pj->pi", R_wc[spawn],
+                                dirs * depth[:, None]))        # [P, 3]
+
+    # observations: poses spawn..spawn+obs_window-1 (wrap) see the landmark
+    k = np.arange(obs_window)
+    obs_pose = (spawn[:, None] + k[None, :]) % F               # [P, W]
+    obs_point = np.broadcast_to(np.arange(P)[:, None], obs_pose.shape)
+    obs_pose = obs_pose.reshape(-1)
+    obs_point = obs_point.reshape(-1)
+    # true projections + pixel noise
+    d = X[obs_point] - eye[obs_pose]
+    Xc = np.einsum("oij,oi->oj", R_wc[obs_pose], d)            # R^T d
+    # drop observations behind the camera or at grazing depth (wrap seam)
+    ok = Xc[:, 2] > 0.5
+    obs_pose, obs_point, Xc = obs_pose[ok], obs_point[ok], Xc[ok]
+    uv = np.stack([cal[0] * Xc[:, 0] / Xc[:, 2] + cal[3],
+                   cal[1] * Xc[:, 1] / Xc[:, 2] + cal[4]], axis=1)
+    uv += rng.normal(0, px_noise, uv.shape)
+    n_obs = len(uv)
+
+    # ground truth + noisy initial values
+    rvec_true = Rotation.from_matrix(R_wc).as_rotvec()
+    v_true = BAVariables(pose_r=jnp.asarray(rvec_true, jnp.float32),
+                         pose_t=jnp.asarray(eye, jnp.float32),
+                         points=jnp.asarray(X, jnp.float32))
+    R_noisy = (Rotation.from_matrix(R_wc)
+               * Rotation.from_rotvec(rng.normal(0, pose_rot_noise,
+                                                 (F, 3)))).as_rotvec()
+    t_noisy = eye + rng.normal(0, pose_t_noise, (F, 3))
+    X_noisy = X + rng.normal(0, point_noise, (P, 3))
+    # anchor: first pose + first frame's landmarks stay at truth
+    R_noisy[0], t_noisy[0] = rvec_true[0], eye[0]
+
+    # odometry chain from the noisy ground-truth motion (relative truth)
+    odo_from = np.arange(F - 1)
+    odo_to = odo_from + 1
+    R_rel = np.einsum("fji,fjk->fik", R_wc[:-1], R_wc[1:])     # R_f^T R_t
+    odo_r = Rotation.from_matrix(R_rel).as_rotvec()
+    odo_t = np.einsum("fji,fj->fi", R_wc[:-1], eye[1:] - eye[:-1])
+
+    def rup(n):
+        return max(pad_multiple,
+                   ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    O = rup(n_obs)
+    Q = rup(F - 1)
+    Rq = rup(points_per_frame)
+    f32 = jnp.float32
+
+    first_pts = np.arange(points_per_frame)
+    prob = BAProblem(
+        init=BAVariables(pose_r=jnp.asarray(R_noisy, f32),
+                         pose_t=jnp.asarray(t_noisy, f32),
+                         points=jnp.asarray(X_noisy, f32)),
+        pose_valid=jnp.ones(F, bool),
+        point_valid=jnp.ones(P, bool),
+        calibrations=jnp.asarray(cal[None], f32),
+        obs_uv=jnp.asarray(_pad(uv, O), f32),
+        obs_pose=jnp.asarray(_pad(obs_pose.astype(np.int32), O), jnp.int32),
+        obs_cam=jnp.zeros(O, jnp.int32),
+        obs_point=jnp.asarray(_pad(obs_point.astype(np.int32), O),
+                              jnp.int32),
+        obs_sigma=jnp.full(O, 1.0, f32),
+        obs_valid=jnp.asarray(np.arange(O) < n_obs),
+        odo_r=jnp.asarray(_pad(odo_r, Q), f32),
+        odo_t=jnp.asarray(_pad(odo_t, Q), f32),
+        odo_from=jnp.asarray(_pad(odo_from.astype(np.int32), Q), jnp.int32),
+        odo_to=jnp.asarray(_pad(odo_to.astype(np.int32), Q), jnp.int32),
+        odo_sigma=jnp.asarray(_pad(np.tile([0.05, 0.05, 0.05, 0.2, 0.2,
+                                            0.2], (F - 1, 1)), Q, fill=1.0),
+                              f32),
+        odo_valid=jnp.asarray(np.arange(Q) < F - 1),
+        prior_pose_idx=jnp.zeros(1, jnp.int32),
+        prior_pose_r=jnp.asarray(rvec_true[:1], f32),
+        prior_pose_t=jnp.asarray(eye[:1], f32),
+        prior_pose_sigma=jnp.asarray([[0.02, 0.02, 0.02, 0.1, 0.1, 0.1]],
+                                     f32),
+        prior_pose_valid=jnp.ones(1, bool),
+        prior_point_idx=jnp.asarray(_pad(first_pts.astype(np.int32), Rq),
+                                    jnp.int32),
+        prior_point_xyz=jnp.asarray(_pad(X[first_pts], Rq), f32),
+        prior_point_sigma=jnp.full(Rq, 0.2, f32),
+        prior_point_valid=jnp.asarray(np.arange(Rq) < points_per_frame),
+    )
+    return prob, v_true

@@ -265,3 +265,39 @@ class TestDeviceLoop:
         np.testing.assert_array_equal(np.asarray(v.pose_t)[3],
                                       np.asarray(prob.init.pose_t)[3])
         assert hist[-1] <= hist[0]
+
+
+class TestCorridorScale:
+    """Production-scale synthetic corridor scenario
+    (ba/synthetic.py::generate_corridor_problem): the CG path must solve a
+    problem far beyond the reference scenario's 8 landmarks."""
+
+    def test_cg_recovers_geometry(self):
+        from mqslam_tpu.ba import synthetic as bsyn
+
+        prob, v_true = bsyn.generate_corridor_problem(nr_frames=64,
+                                                      points_per_frame=8)
+        assert int(prob.obs_valid.sum()) > 3000
+        v, hist = ba_solver.lm_solve(prob, max_iters=20, method="cg",
+                                     cg_iters=300)
+        c_true = float(ba_solver.compute_cost(prob, v_true))
+        assert hist[-1] < 2.0 * c_true, (hist[-1], c_true)
+        err = np.linalg.norm(np.asarray(v.pose_t)
+                             - np.asarray(v_true.pose_t), axis=1)
+        err0 = np.linalg.norm(np.asarray(prob.init.pose_t)
+                              - np.asarray(v_true.pose_t), axis=1)
+        # BA must cut the injected pose noise by at least 3x
+        assert err.mean() < err0.mean() / 3.0, (err.mean(), err0.mean())
+
+    def test_device_loop_cg_matches(self):
+        from mqslam_tpu.ba import synthetic as bsyn
+
+        prob, v_true = bsyn.generate_corridor_problem(nr_frames=64,
+                                                      points_per_frame=8)
+        v_h, hist_h = ba_solver.lm_solve(prob, max_iters=8, method="cg",
+                                         cg_iters=200)
+        v_d, hist_d, n = ba_solver.lm_solve_device(prob, max_iters=8,
+                                                   method="cg",
+                                                   cg_iters=200)
+        m = min(len(hist_h), len(hist_d))
+        np.testing.assert_allclose(hist_h[:m], hist_d[:m], rtol=1e-2)
