@@ -137,7 +137,7 @@ def bench_lk_impls(imgs, n_scan=30, repeats=3):
     pyr_a = tuple(lk.build_pyramid(jnp.asarray(imgs[0]), 3, pad=pad))
     pyr_b = tuple(lk.build_pyramid(jnp.asarray(imgs[1]), 3, pad=pad))
     out = {}
-    for impl in ("xla", "pallas"):
+    for impl in ("xla", "pallas", "fused"):
         @partial(jax.jit, static_argnames=("impl",))
         def run(p0, impl):
             def body(p, _):

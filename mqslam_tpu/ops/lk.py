@@ -114,6 +114,17 @@ def _extract_patches(img, corner_yx, P):
     return patch, cy, cx
 
 
+def _pad_tiles(img):
+    """Edge-pad an image to the f32 tile grid (8 rows / 128 lanes, >=256
+    cols) so DMA strip copies stay in bounds (ops/extract_pallas.py)."""
+    H, W = img.shape
+    Hp = -(-H // 8) * 8
+    Wp = max(-(-W // 128) * 128, 256)
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
+    return img
+
+
 def _interp_weights(pos, win, P):
     """Banded linear-interpolation matrix rows.
 
@@ -162,7 +173,7 @@ def _window_multi(patches, ay, ax, win, prec=_HP):
 def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
              levels: int = 3, iters: int = 30, eps: float = 0.01,
              min_eig_threshold: float = 1e-4, margin: int = 7,
-             impl: str = "xla", interpret: bool = False,
+             impl: str = "auto", interpret: bool = False,
              precision: str = "default"):
     """Track pts [N, 2] from prev_img to next_img.
 
@@ -183,7 +194,7 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
 def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                  iters: int = 30, eps: float = 0.01,
                  min_eig_threshold: float = 1e-4, margin: int = 7,
-                 impl: str = "xla", interpret: bool = False,
+                 impl: str = "auto", interpret: bool = False,
                  prepad: bool = False, atlas_agents=None,
                  atlas_tiles: int = 1, dma_extract=None,
                  precision: str = "default"):
@@ -256,6 +267,36 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     # tile (8 rows / 128 lanes) so its clamp bounds match this path's
     # exactly; only the bottom tile of an atlas gains rows, so per-tile row
     # offsets are unaffected.
+    if impl == "auto":
+        # fused DMA+Newton kernel wherever it pays (measured 1.4x faster
+        # than the banded-matmul XLA path at T=384, 2x at T=3072; roughly
+        # tied at T=128 where the XLA batch is still latency-bound — see
+        # ops/lk_fused_pallas).  Strip DMAs need >= 48 rows per
+        # (tile-padded) level.
+        impl = ("fused" if (jax.default_backend() == "tpu"
+                            and not interpret and dt == jnp.float32
+                            and T >= 192
+                            and min(j.shape[0] for j in Js) > 40)
+                else "xla")
+
+    if impl == "fused":
+        # fully fused DMA-extraction + Newton kernel: needs only the track
+        # positions and the tile-padded level images
+        p_ls = []
+        inside_all = jnp.ones(T, bool)
+        for lvl in range(levels):
+            H, W = shapes[lvl]
+            p_l = pts / (2.0 ** lvl) + pad
+            inside_all = inside_all & jnp.all(
+                (p_l >= pad) & (p_l <= jnp.array([W - 1 + pad, H - 1 + pad],
+                                                 dtype=dt)), axis=-1)
+            p_ls.append(p_l)
+        return _lk_fused_levels(
+            [_pad_tiles(l) for l in Js], [_pad_tiles(l) for l in Is],
+            p_ls, pts, pts_valid & inside_all, shapes, win, iters, eps,
+            min_eig_threshold, margin,
+            interpret or jax.default_backend() != "tpu", row_offs)
+
     if dma_extract is None:
         dma_extract = (jax.default_backend() == "tpu" and impl == "xla"
                        and not interpret and dt == jnp.float32)
@@ -263,14 +304,6 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         "the fused-Newton pallas kernel expects square XLA-extracted patches"
     if dma_extract:
         from mqslam_tpu.ops import extract_pallas as _ep
-
-        def _pad_tiles(img):
-            H, W = img.shape
-            Hp = -(-H // 8) * 8
-            Wp = max(-(-W // 128) * 128, 256)
-            if (Hp, Wp) != (H, W):
-                img = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
-            return img
 
         Js = [_pad_tiles(l) for l in Js]
         Is = [_pad_tiles(l) for l in Is]
@@ -422,6 +455,72 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     Iw0 = _window(pI, a_fin[:, 1], a_fin[:, 0], win, _prec)
     err = jnp.mean(jnp.abs(Jw - Iw0), axis=(1, 2))
     status = jnp.logical_and(status, inside_final)
+    return new_pts, status, jnp.where(status, err, jnp.inf)
+
+
+def _lk_fused_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
+                     min_eig_threshold, margin, interpret, row_offs):
+    """Per-level driver for the fused DMA+Newton kernel
+    (ops/lk_fused_pallas.py).  Host side only computes strip corners and
+    window anchors; extraction, template setup, and the Newton loop all
+    run inside the kernel.  Clip semantics match ``_lk_pallas_levels``
+    (window start capped at P - 2 - win, one px tighter than the XLA
+    path's point cap — differences only at the patch-drift boundary)."""
+    from mqslam_tpu.ops import lk_fused_pallas as _fp
+    from mqslam_tpu.ops.extract_pallas import _clamped_corners, ROWS_CAP
+
+    levels = len(Is)
+    r = win // 2
+    P = win + 2 * margin + 1
+    hiX = float(P - 2 - win)
+    dt = pts.dtype
+    f32 = jnp.float32
+    g = jnp.zeros_like(pts)
+    err = None
+    for lvl in range(levels - 1, -1, -1):
+        imgJ, imgI = Js[lvl], Is[lvl]
+        H, W = imgJ.shape
+        off = row_offs[lvl]
+        p_l = p_ls[lvl]
+        pya = p_l[:, 1] + off
+        pxa = p_l[:, 0]
+        # template strip: 1-px margin (interpolation tap + gradient taps);
+        # clamp cap 26 keeps the +-1 gradient rows inside the 48-row strip
+        cyJ, cxJ, y0J, x0J = _clamped_corners(
+            jnp.floor(pya).astype(jnp.int32) - r - 1,
+            jnp.floor(pxa).astype(jnp.int32) - r - 1, H, W, 26)
+        aJy = jnp.clip(pya.astype(f32) - r - y0J, 1.0, ROWS_CAP - win - 2.0)
+        aJx = jnp.clip(pxa.astype(f32) - r - cxJ, 1.0, 128.0 - win - 2.0)
+        # search strip at the level-start flow estimate
+        q0 = p_l + g
+        q0ya = q0[:, 1] + off
+        q0xa = q0[:, 0]
+        cyI, cxI, y0I, x0I = _clamped_corners(
+            jnp.floor(q0ya).astype(jnp.int32) - r - margin,
+            jnp.floor(q0xa).astype(jnp.int32) - r - margin, H, W, P)
+        loY = (cyI - y0I).astype(f32)
+        a0y = jnp.clip(q0ya.astype(f32) - r - y0I, loY, loY + hiX)
+        a0x = jnp.clip(q0xa.astype(f32) - r - cxI, 0.0, hiX)
+        a_fin, eig, err_l = _fp.lk_level_fused(
+            imgJ, imgI,
+            jnp.stack([y0J, x0J, cxJ - x0J], axis=1),
+            jnp.stack([y0I, x0I, cxI - x0I], axis=1),
+            jnp.stack([aJy, aJx], axis=1), jnp.stack([a0y, a0x], axis=1),
+            loY, win, iters, eps, hiX, interpret=interpret)
+        status = status & (eig >= min_eig_threshold)
+        q = jnp.stack([(cxI + r).astype(dt) + a_fin[:, 1],
+                       (y0I + r).astype(dt) + a_fin[:, 0] - off], axis=1)
+        g_new = q - p_l
+        g = g_new * 2.0 if lvl > 0 else g_new
+        if lvl == 0:
+            err = err_l
+
+    new_pts = pts + g
+    H0, W0 = shapes[0]
+    inside_final = jnp.all(
+        (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
+                                               dtype=pts.dtype)), axis=-1)
+    status = status & inside_final
     return new_pts, status, jnp.where(status, err, jnp.inf)
 
 
