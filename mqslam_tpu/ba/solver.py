@@ -60,6 +60,22 @@ def dense_method_ok(problem: "BAProblem") -> bool:
             and problem.n_poses * problem.n_points <= _DENSE_MAX_FP)
 
 
+def _auto_layout(problem: "BAProblem"):
+    """Host-side packed-layout build for the CG path (ba/packed.py).
+
+    Returns None — COO applies — when the problem's observation masks are
+    traced (incremental BA runs under jit) or when the padded tables would
+    blow past the build's ratio guard."""
+    from mqslam_tpu.ba.packed import build_packed_layout
+    try:
+        return build_packed_layout(problem.obs_pose, problem.obs_point,
+                                   problem.obs_valid, problem.n_poses,
+                                   problem.n_points)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return None
+
+
 # Tiny block contractions as broadcast+sum (full f32 on TPU — einsum forms
 # would lower to bf16 dot_general, see core.smallmat).
 def _Jv(J, v):
@@ -244,6 +260,21 @@ def linearize(problem: BAProblem, v: BAVariables,
         diag_pose=diag_pose, pose_free=pose_free, point_free=point_free)
 
 
+def _hcc_rest(problem: BAProblem, lin: Linearization, v):
+    """v [F, 6] -> (odometry + prior) part of Hcc v — O(F), layout-free."""
+    F = problem.n_poses
+    yo = (_Jv(lin.J_odo_from, v[problem.odo_from])
+          + _Jv(lin.J_odo_to, v[problem.odo_to]))
+    out = segment_sum(_JTr(lin.J_odo_from, yo),
+                      problem.odo_from, num_segments=F)
+    out = out + segment_sum(_JTr(lin.J_odo_to, yo),
+                            problem.odo_to, num_segments=F)
+    yp = _Jv(lin.J_pp, v[problem.prior_pose_idx])
+    out = out + segment_sum(_JTr(lin.J_pp, yp),
+                            problem.prior_pose_idx, num_segments=F)
+    return out
+
+
 def _hcc_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
     """v [F, 6] -> Hcc v (projection + odometry + prior parts, undamped)."""
     F = problem.n_poses
@@ -252,16 +283,63 @@ def _hcc_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
                       problem.obs_pose, num_segments=F)
     if axis_name is not None:
         out = jax.lax.psum(out, axis_name)
-    yo = (_Jv(lin.J_odo_from, v[problem.odo_from])
-          + _Jv(lin.J_odo_to, v[problem.odo_to]))
-    out = out + segment_sum(_JTr(lin.J_odo_from, yo),
-                            problem.odo_from, num_segments=F)
-    out = out + segment_sum(_JTr(lin.J_odo_to, yo),
-                            problem.odo_to, num_segments=F)
-    yp = _Jv(lin.J_pp, v[problem.prior_pose_idx])
-    out = out + segment_sum(_JTr(lin.J_pp, yp),
-                            problem.prior_pose_idx, num_segments=F)
-    return out
+    return out + _hcc_rest(problem, lin, v)
+
+
+def _pad0(a):
+    return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)])
+
+
+def pack_jacobians(lin: Linearization, layout):
+    """Gather the per-observation Jacobians into the dual dense layout —
+    ONCE per linearization (the gathers cost as much as a CG iteration;
+    re-packing per solve attempt would give most of the win back)."""
+    return (_pad0(lin.J_obs_pose)[layout.fslot],    # [F, Kf, 2, 6]
+            _pad0(lin.J_obs_point)[layout.fslot],   # [F, Kf, 2, 3]
+            _pad0(lin.J_obs_point)[layout.pslot])   # [P, Kp, 2, 3]
+
+
+def _packed_ops(problem: BAProblem, lin: Linearization, layout,
+                packedJ=None):
+    """Dense closure applies for the CG hot loop over the packed layout
+    (ba/packed.py).
+
+    Every apply is broadcast+sum (full-f32 VPU, bandwidth-bound) plus at
+    most one [O, 2]-row permutation gather; no scatter-adds.  Padding
+    slots index appended zero rows and contribute nothing.
+    """
+    pad0 = _pad0
+    Jp_f, Jt_f, Jt_p = (pack_jacobians(lin, layout) if packedJ is None
+                        else packedJ)
+
+    def z_pose_major(v):                         # [F, 6] -> [F, Kf, 2]
+        return jnp.sum(Jp_f * v[:, None, None, :], axis=-1)
+
+    def hcc_obs(z):                              # [F, Kf, 2] -> [F, 6]
+        return jnp.sum(Jp_f * z[..., None], axis=(1, 2))
+
+    def wt_from_z(z):                            # [F, Kf, 2] -> [P, 3]
+        z_pm = pad0(z.reshape(-1, 2))[layout.idx_pm2f]   # [P, Kp, 2]
+        return jnp.sum(Jt_p * z_pm[..., None], axis=(1, 2))
+
+    def w_apply(u):                              # [P, 3] -> [F, 6]
+        w_pm = jnp.sum(Jt_p * u[:, None, None, :], axis=-1)  # [P, Kp, 2]
+        w_f = pad0(w_pm.reshape(-1, 2))[layout.idx_f2pm]     # [F, Kf, 2]
+        return jnp.sum(Jp_f * w_f[..., None], axis=(1, 2))
+
+    def precond_obs_blocks(Hpp_inv):             # -> [F, 6, 6]
+        Hj = pad0(Hpp_inv)[layout.pid_f]                     # [F, Kf, 3, 3]
+        A = jnp.sum(Jp_f[:, :, :, :, None] * Jt_f[:, :, :, None, :],
+                    axis=2)                                  # [F, Kf, 6, 3]
+        AH = jnp.sum(A[:, :, :, :, None] * Hj[:, :, None, :, :],
+                     axis=3)                                 # [F, Kf, 6, 3]
+        AHA = jnp.sum(AH[:, :, :, None, :] * A[:, :, None, :, :],
+                      axis=-1)                               # [F, Kf, 6, 6]
+        JJ = jnp.sum(Jp_f[:, :, :, :, None] * Jp_f[:, :, :, None, :],
+                     axis=2)                                 # [F, Kf, 6, 6]
+        return jnp.sum(JJ - AHA, axis=1)
+
+    return z_pose_major, hcc_obs, wt_from_z, w_apply, precond_obs_blocks
 
 
 def _w_t_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
@@ -287,7 +365,7 @@ def _w_apply(problem: BAProblem, lin: Linearization, u, axis_name=None):
 @partial(jax.jit, static_argnames=("cg_iters", "axis_name"))
 def solve_delta(problem: BAProblem, lin: Linearization, lam,
                 cg_iters: int = 100, cg_tol: float = 1e-6,
-                axis_name: str = None):
+                axis_name: str = None, layout=None, packedJ=None):
     """Solve the damped normal equations for (delta_pose, delta_point).
 
     Returns (delta_pose, delta_point, cg_iters_used). The reduced camera
@@ -299,6 +377,8 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     The loop exits early once ||r|| <= cg_tol * ||b|| (while_loop — unlike
     a masked fori, converged solves stop paying matvecs).
     """
+    assert layout is None or axis_name is None, \
+        "packed layout is a single-device structure (sharded path uses COO)"
     pose_mask = lin.pose_free[:, None].astype(jnp.float32)
     point_mask = lin.point_free[:, None].astype(jnp.float32)
     F = problem.n_poses
@@ -311,18 +391,33 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     def hpp_solve(t):
         return linalg.solve3x3_sym(Hpp_d, t) * point_mask
 
-    def B_apply(vv):
-        vv = vv * pose_mask
-        hv = _hcc_apply(problem, lin, vv, axis_name) + (lam * jnp.maximum(
-            lin.diag_pose, 1e-12)) * vv
-        corr = _w_apply(problem, lin,
-                        hpp_solve(_w_t_apply(problem, lin, vv, axis_name)),
-                        axis_name)
-        return (hv - corr) * pose_mask
+    if layout is not None:
+        _z_f, _hcc_obs, _wt_z, _w_ap, _pre_obs = _packed_ops(
+            problem, lin, layout, packedJ)
 
-    # reduced RHS: -g_c + W Hpp^-1 g_p
-    b = (-lin.g_pose + _w_apply(problem, lin, hpp_solve(lin.g_point),
-                                axis_name))
+        def B_apply(vv):
+            vv = vv * pose_mask
+            z = _z_f(vv)  # shared between the Hcc and W^T products
+            hv = (_hcc_obs(z) + _hcc_rest(problem, lin, vv)
+                  + (lam * jnp.maximum(lin.diag_pose, 1e-12)) * vv)
+            corr = _w_ap(hpp_solve(_wt_z(z)))
+            return (hv - corr) * pose_mask
+
+        b = -lin.g_pose + _w_ap(hpp_solve(lin.g_point))
+    else:
+        def B_apply(vv):
+            vv = vv * pose_mask
+            hv = _hcc_apply(problem, lin, vv, axis_name) + (
+                lam * jnp.maximum(lin.diag_pose, 1e-12)) * vv
+            corr = _w_apply(problem, lin,
+                            hpp_solve(_w_t_apply(problem, lin, vv,
+                                                 axis_name)),
+                            axis_name)
+            return (hv - corr) * pose_mask
+
+        # reduced RHS: -g_c + W Hpp^-1 g_p
+        b = (-lin.g_pose + _w_apply(problem, lin, hpp_solve(lin.g_point),
+                                    axis_name))
     b = b * pose_mask
 
     # ---- block-Jacobi preconditioner: exact 6x6 diagonal blocks of B ----
@@ -334,17 +429,21 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     # duplicates the preconditioner degrades but CG itself stays correct.
     eye6 = jnp.eye(6, dtype=jnp.float32)
     Hpp_inv = linalg.inv3x3(Hpp_d) * point_mask[..., None]  # [P, 3, 3]
-    # per-observation W block A = Jp^T Jpt [O, 6, 3] and its Schur
-    # correction A Hpp_j^-1 A^T (elementwise contractions: full f32)
-    A = jnp.sum(lin.J_obs_pose[:, :, :, None]
-                * lin.J_obs_point[:, :, None, :], axis=1)
-    Hj = Hpp_inv[problem.obs_point]
-    AH = jnp.sum(A[:, :, :, None] * Hj[:, None, :, :], axis=2)
-    AHA = jnp.sum(AH[:, :, None, :] * A[:, None, :, :], axis=3)  # [O, 6, 6]
-    blk = segment_sum(_JTJ(lin.J_obs_pose) - AHA, problem.obs_pose,
-                      num_segments=F)
-    if axis_name is not None:
-        blk = jax.lax.psum(blk, axis_name)
+    if layout is not None:
+        blk = _pre_obs(Hpp_inv)
+    else:
+        # per-observation W block A = Jp^T Jpt [O, 6, 3] and its Schur
+        # correction A Hpp_j^-1 A^T (elementwise contractions: full f32)
+        A = jnp.sum(lin.J_obs_pose[:, :, :, None]
+                    * lin.J_obs_point[:, :, None, :], axis=1)
+        Hj = Hpp_inv[problem.obs_point]
+        AH = jnp.sum(A[:, :, :, None] * Hj[:, None, :, :], axis=2)
+        AHA = jnp.sum(AH[:, :, None, :] * A[:, None, :, :],
+                      axis=3)  # [O, 6, 6]
+        blk = segment_sum(_JTJ(lin.J_obs_pose) - AHA, problem.obs_pose,
+                          num_segments=F)
+        if axis_name is not None:
+            blk = jax.lax.psum(blk, axis_name)
     blk = blk + segment_sum(_JTJ(lin.J_odo_from), problem.odo_from,
                             num_segments=F)
     blk = blk + segment_sum(_JTJ(lin.J_odo_to), problem.odo_to,
@@ -383,9 +482,11 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     delta_pose = x * pose_mask
 
     # back-substitute landmarks: dp = -Hpp^-1 (g_p + W^T dc)
-    delta_point = -hpp_solve(lin.g_point
-                             + _w_t_apply(problem, lin, delta_pose,
-                                          axis_name))
+    if layout is not None:
+        wt_dc = _wt_z(_z_f(delta_pose))
+    else:
+        wt_dc = _w_t_apply(problem, lin, delta_pose, axis_name)
+    delta_point = -hpp_solve(lin.g_point + wt_dc)
     return delta_pose, delta_point, it
 
 
@@ -500,7 +601,7 @@ def apply_delta(v: BAVariables, delta_pose, delta_point) -> BAVariables:
 def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
              lam0: float = 1e-6, lam_up: float = 8.0, lam_down: float = 2.0,
              cg_iters: int = 1000, cg_tol: float = 1e-10, rtol: float = 0.0,
-             method: str = "auto", verbose: bool = False):
+             method: str = "auto", verbose: bool = False, layout="auto"):
     """Levenberg-Marquardt outer loop (host-controlled accept/reject).
 
     method: "dense" (direct dense-Schur Cholesky, see solve_delta_dense),
@@ -522,19 +623,25 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
     """
     if method == "auto":
         method = "dense" if dense_method_ok(problem) else "cg"
+    if layout == "auto":
+        layout = _auto_layout(problem) if method == "cg" else None
     v = v0 or problem.init
     lam = lam0
     cost = float(compute_cost(problem, v))
     history = [cost]
+    pack = jax.jit(pack_jacobians)
     for it in range(max_iters):
         lin = linearize(problem, v)
+        pJ = (pack(lin, layout)
+              if layout is not None and method != "dense" else None)
         improved = False
         for _ in range(6):  # lambda escalation attempts
             if method == "dense":
                 dc, dp = solve_delta_dense(problem, lin, jnp.float32(lam))
             else:
                 dc, dp, _ = solve_delta(problem, lin, jnp.float32(lam),
-                                        cg_iters=cg_iters, cg_tol=cg_tol)
+                                        cg_iters=cg_iters, cg_tol=cg_tol,
+                                        layout=layout, packedJ=pJ)
             v_try = apply_delta(v, dc, dp)
             new_cost = float(compute_cost(problem, v_try))
             if new_cost < cost:
@@ -559,29 +666,18 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
                                    "cg_iters"))
 def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
                     lam0, lam_up, lam_down, max_retries: int, method: str,
-                    cg_iters: int, cg_tol):
-    def solve(lin, lam):
+                    cg_iters: int, cg_tol, layout=None):
+    def solve(lin, lam, packedJ=None):
         if method == "dense":
             return solve_delta_dense(problem, lin, lam)
         dc, dp, _ = solve_delta(problem, lin, lam, cg_iters=cg_iters,
-                                cg_tol=cg_tol)
+                                cg_tol=cg_tol, layout=layout,
+                                packedJ=packedJ)
         return dc, dp
 
     def v_where(pred, a: BAVariables, b: BAVariables) -> BAVariables:
         return jax.tree_util.tree_map(
             lambda x, y: jnp.where(pred, x, y), a, b)
-
-    def attempt_body(st):
-        k, lam, accepted, v, cost, lin = st
-        dc, dp = solve(lin, lam)
-        v_try = apply_delta(v, dc, dp)
-        new_cost = compute_cost(problem, v_try)
-        ok = new_cost < cost
-        v = v_where(ok, v_try, v)
-        cost = jnp.where(ok, new_cost, cost)
-        lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
-                        jnp.minimum(lam * lam_up, 1e6))
-        return k + 1, lam, accepted | ok, v, cost, lin
 
     def attempt_cond(st):
         k, _, accepted, *_ = st
@@ -590,9 +686,25 @@ def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
     def outer_body(st):
         it, v, lam, cost, _, hist = st
         lin = linearize(problem, v)
-        _, lam, accepted, v, cost, _ = jax.lax.while_loop(
+        # pack once per linearization; the attempt loop reuses it
+        pJ = (pack_jacobians(lin, layout)
+              if layout is not None and method != "dense" else None)
+
+        def attempt_body(st2):
+            k, lam, accepted, v, cost = st2
+            dc, dp = solve(lin, lam, pJ)
+            v_try = apply_delta(v, dc, dp)
+            new_cost = compute_cost(problem, v_try)
+            ok = new_cost < cost
+            v = v_where(ok, v_try, v)
+            cost = jnp.where(ok, new_cost, cost)
+            lam = jnp.where(ok, jnp.maximum(lam / lam_down, 1e-9),
+                            jnp.minimum(lam * lam_up, 1e6))
+            return k + 1, lam, accepted | ok, v, cost
+
+        _, lam, accepted, v, cost = jax.lax.while_loop(
             attempt_cond, attempt_body,
-            (jnp.int32(0), lam, jnp.bool_(False), v, cost, lin))
+            (jnp.int32(0), lam, jnp.bool_(False), v, cost))
         hist = hist.at[it + 1].set(cost)
         return it + 1, v, lam, cost, accepted, hist
 
@@ -612,7 +724,8 @@ def lm_solve_device(problem: BAProblem, v0: BAVariables = None,
                     max_iters: int = 60, lam0: float = 1e-6,
                     lam_up: float = 8.0, lam_down: float = 2.0,
                     max_retries: int = 6, cg_iters: int = 1000,
-                    cg_tol: float = 1e-10, method: str = "auto"):
+                    cg_tol: float = 1e-10, method: str = "auto",
+                    layout="auto"):
     """lm_solve with the ENTIRE outer loop on device (lax.while_loop).
 
     Same LM policy as lm_solve (linearize once per outer iteration, up to
@@ -631,11 +744,14 @@ def lm_solve_device(problem: BAProblem, v0: BAVariables = None,
     """
     if method == "auto":
         method = "dense" if dense_method_ok(problem) else "cg"
+    if layout == "auto":
+        layout = _auto_layout(problem) if method == "cg" else None
     v = v0 or problem.init
     v, hist, it = _lm_device_loop(problem, v, max_iters,
                                   jnp.float32(lam0), jnp.float32(lam_up),
                                   jnp.float32(lam_down), max_retries, method,
-                                  cg_iters, jnp.float32(cg_tol))
+                                  cg_iters, jnp.float32(cg_tol),
+                                  layout=layout)
     # ONE bulk transfer: per-element float(h) fetches would each pay the
     # tunneled backend's ~30 ms round-trip and dominate the whole solve
     hist_np, n = jax.device_get((hist, it))
