@@ -29,7 +29,8 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["PackedLayout", "build_packed_layout"]
+__all__ = ["PackedLayout", "build_packed_layout",
+           "ShardedPackedLayout", "build_sharded_packed_layout"]
 
 
 class PackedLayout(NamedTuple):
@@ -84,6 +85,10 @@ def build_packed_layout(obs_pose, obs_point, obs_valid, n_poses: int,
     ov = np.asarray(obs_valid, dtype=bool)
     O = len(op)
     sel = np.nonzero(ov)[0]
+    if len(sel) == 0:
+        # no valid observations: nothing to pack (and the pid_f build
+        # below would index an empty array) — COO handles the empty case
+        return None
     fslot, inv_f, Kf = _slot_table(op, sel, n_poses, O)
     pslot, inv_p, Kp = _slot_table(opt, sel, n_points, O)
     n_obs = max(len(sel), 1)
@@ -97,3 +102,121 @@ def build_packed_layout(obs_pose, obs_point, obs_valid, n_poses: int,
     return PackedLayout(fslot=i32(fslot), pslot=i32(pslot),
                         idx_pm2f=i32(idx_pm2f), idx_f2pm=i32(idx_f2pm),
                         pid_f=i32(pid_f))
+
+
+class ShardedPackedLayout(NamedTuple):
+    """Per-device compact packed layout, stacked on a leading shard axis.
+
+    Each device holds the observation slice ``[d*per, (d+1)*per)`` of the
+    (padded) COO arrays; its tables cover only the poses/landmarks that
+    slice touches, addressed through row maps — so per-device dense matvec
+    work genuinely scales 1/D instead of re-reading F/P mostly-empty rows.
+    Inside shard_map the leading axis is 1 (this device's block); squeeze
+    it and the slot indices are LOCAL to the device's obs slice (sentinel
+    = per-device slice length).  Partial [Fd, 6]/[Pd, 3] results scatter
+    through ``rows_f``/``rows_p`` into global vectors and psum over the
+    mesh axis (see ba.solver._packed_ops_rows).
+    """
+    fslot: jnp.ndarray      # [D, Fd, Kf] local obs index (sentinel = per)
+    pslot: jnp.ndarray      # [D, Pd, Kp] local obs index (sentinel = per)
+    idx_pm2f: jnp.ndarray   # [D, Pd, Kp] pose-major flat slot (sent Fd*Kf)
+    idx_f2pm: jnp.ndarray   # [D, Fd, Kf] point-major flat slot (sent Pd*Kp)
+    pid_f: jnp.ndarray      # [D, Fd, Kf] GLOBAL landmark id (sentinel = P)
+    rows_f: jnp.ndarray     # [D, Fd] global pose id per row (sentinel = F)
+    rows_p: jnp.ndarray     # [D, Pd] global landmark id (sentinel = P)
+
+
+def _shard_tables(op, opt, ov, n_poses, n_points, lo, hi):
+    """One shard's compact dual layout over its [lo, hi) obs slice.
+
+    All slot indices local to the slice; rows_* map local rows to global
+    pose/landmark ids."""
+    per = hi - lo
+    sel = np.nonzero(ov[lo:hi])[0]           # local indices
+    op_l = op[lo:hi]
+    opt_l = opt[lo:hi]
+    rows_f, op_row = np.unique(op_l[sel], return_inverse=True) \
+        if len(sel) else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    rows_p, opt_row = np.unique(opt_l[sel], return_inverse=True) \
+        if len(sel) else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    # slot tables over local rows
+    op_rows = np.zeros(per, np.int64)
+    op_rows[sel] = op_row
+    opt_rows = np.zeros(per, np.int64)
+    opt_rows[sel] = opt_row
+    fslot, inv_f, Kf = _slot_table(op_rows, sel, max(len(rows_f), 1), per)
+    pslot, inv_p, Kp = _slot_table(opt_rows, sel, max(len(rows_p), 1), per)
+    idx_pm2f = inv_f[pslot]
+    idx_f2pm = inv_p[fslot]
+    pid_f = np.where(fslot < per,
+                     opt_l[np.minimum(fslot, max(per - 1, 0))], n_points)
+    return dict(fslot=fslot, pslot=pslot, idx_pm2f=idx_pm2f,
+                idx_f2pm=idx_f2pm, pid_f=pid_f, rows_f=rows_f,
+                rows_p=rows_p, Kf=Kf, Kp=Kp, per=per)
+
+
+def build_sharded_packed_layout(obs_pose, obs_point, obs_valid,
+                                n_poses: int, n_points: int, n_shards: int,
+                                max_ratio: float = 6.0):
+    """Build per-shard compact layouts for obs arrays pre-padded to a
+    multiple of ``n_shards`` (parallel.shard_problem_for_mesh's split).
+
+    Returns a ShardedPackedLayout with uniform per-shard table sizes
+    (padded to the max across shards), or None when there are no valid
+    observations or the padded tables would exceed ``max_ratio`` x the raw
+    observation count (degenerate distributions: fall back to COO).
+    """
+    op = np.asarray(obs_pose, dtype=np.int64)
+    opt = np.asarray(obs_point, dtype=np.int64)
+    ov = np.asarray(obs_valid, dtype=bool)
+    O = len(op)
+    if O % n_shards != 0:
+        return None
+    n_valid = int(ov.sum())
+    if n_valid == 0:
+        return None
+    per = O // n_shards
+    shards = [_shard_tables(op, opt, ov, n_poses, n_points,
+                            d * per, (d + 1) * per)
+              for d in range(n_shards)]
+    Fd = max(max(len(s["rows_f"]) for s in shards), 1)
+    Pd = max(max(len(s["rows_p"]) for s in shards), 1)
+    Kf = max(s["Kf"] for s in shards)
+    Kp = max(s["Kp"] for s in shards)
+    if n_shards * (Fd * Kf + Pd * Kp) > max_ratio * n_valid:
+        return None
+
+    def stack(key, rows, K, sent):
+        out = np.full((n_shards, rows, K), sent, dtype=np.int64)
+        for d, s in enumerate(shards):
+            t = s[key]
+            # remap this shard's flat-slot sentinels to the padded space
+            if key == "idx_pm2f":
+                t = np.where(t >= s["fslot"].shape[0] * s["Kf"], Fd * Kf, t)
+                # re-express valid flat slots in the padded [Fd, Kf] space
+                valid = t < Fd * Kf
+                r, c = t // s["Kf"], t % s["Kf"]
+                t = np.where(valid, r * Kf + c, Fd * Kf)
+            elif key == "idx_f2pm":
+                t = np.where(t >= s["pslot"].shape[0] * s["Kp"], Pd * Kp, t)
+                valid = t < Pd * Kp
+                r, c = t // s["Kp"], t % s["Kp"]
+                t = np.where(valid, r * Kp + c, Pd * Kp)
+            out[d, :t.shape[0], :t.shape[1]] = t
+        return out
+
+    def stack_rows(key, rows, sent):
+        out = np.full((n_shards, rows), sent, dtype=np.int64)
+        for d, s in enumerate(shards):
+            out[d, :len(s[key])] = s[key]
+        return out
+
+    i32 = lambda a: jnp.asarray(a, jnp.int32)
+    return ShardedPackedLayout(
+        fslot=i32(stack("fslot", Fd, Kf, per)),
+        pslot=i32(stack("pslot", Pd, Kp, per)),
+        idx_pm2f=i32(stack("idx_pm2f", Pd, Kp, Fd * Kf)),
+        idx_f2pm=i32(stack("idx_f2pm", Fd, Kf, Pd * Kp)),
+        pid_f=i32(stack("pid_f", Fd, Kf, n_points)),
+        rows_f=i32(stack_rows("rows_f", Fd, n_poses)),
+        rows_p=i32(stack_rows("rows_p", Pd, n_points)))

@@ -272,9 +272,14 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
         # than the banded-matmul XLA path at T=384, 2x at T=3072; roughly
         # tied at T=128 where the XLA batch is still latency-bound — see
         # ops/lk_fused_pallas).  Strip DMAs need >= 48 rows per
-        # (tile-padded) level.
+        # (tile-padded) level.  Callers that pin precision (golden/parity
+        # comparisons, lk.py precision note above) or explicitly disable
+        # the DMA extractor must get the XLA path — the fused kernel runs
+        # its matmuls at the MXU default regardless of ``precision``.
         impl = ("fused" if (jax.default_backend() == "tpu"
                             and not interpret and dt == jnp.float32
+                            and precision == "default"
+                            and dma_extract is not False
                             and T >= 192
                             and min(j.shape[0] for j in Js) > 40)
                 else "xla")
@@ -506,7 +511,7 @@ def _lk_fused_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
             jnp.stack([y0J, x0J, cxJ - x0J], axis=1),
             jnp.stack([y0I, x0I, cxI - x0I], axis=1),
             jnp.stack([aJy, aJx], axis=1), jnp.stack([a0y, a0x], axis=1),
-            loY, win, iters, eps, hiX, interpret=interpret)
+            loY, status, win, iters, eps, hiX, interpret=interpret)
         status = status & (eig >= min_eig_threshold)
         q = jnp.stack([(cxI + r).astype(dt) + a_fin[:, 1],
                        (y0I + r).astype(dt) + a_fin[:, 0] - off], axis=1)

@@ -57,9 +57,9 @@ def _samp(pc, t, ay, ax, win):
     return jnp.dot(rows, Wx, preferred_element_type=jnp.float32)
 
 
-def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, imgJ_ref, imgI_ref,
-            a_out, eig_ref, err_ref, stripJ, stripI, pJc, pIc, semJ, semI,
-            *, TB, win, iters, eps, hiX):
+def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
+            imgI_ref, a_out, eig_ref, err_ref, stripJ, stripI, pJc, pIc,
+            semJ, semI, *, TB, win, iters, eps, hiX):
     def dma(c_ref, img_ref, strip, sem, t):
         y0 = pl.multiple_of(c_ref[t, 0], 8)
         x0 = pl.multiple_of(c_ref[t, 1], 128)
@@ -134,10 +134,15 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, imgJ_ref, imgI_ref,
             dones2.append(d2)
         return it + 1, tuple(ays2), tuple(axs2), tuple(dones2)
 
+    # Inactive tracks (tracker slots with active=False, possibly NaN
+    # positions) start done: a NaN step never satisfies the eps test, so
+    # an unseeded done would make its whole program run all ``iters``
+    # every level and defeat the group early exit.  Outputs are gated by
+    # status outside the kernel, so this is purely a latency win.
     init = (jnp.int32(0),
             tuple(a0_ref[t, 0] for t in range(TB)),
             tuple(a0_ref[t, 1] for t in range(TB)),
-            tuple(jnp.zeros((), jnp.bool_) for _ in range(TB)))
+            tuple(valid_ref[t, 0] == 0 for t in range(TB)))
     _, ays, axs, _ = jax.lax.while_loop(cond, body, init)
 
     for t in range(TB):
@@ -149,8 +154,8 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, imgJ_ref, imgI_ref,
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "eps", "hiX",
                                              "TB", "interpret"))
-def lk_level_fused(imgJ, imgI, cj, ci, aJ, a0, loY, win: int, iters: int,
-                   eps: float, hiX: float, TB: int = 16,
+def lk_level_fused(imgJ, imgI, cj, ci, aJ, a0, loY, valid, win: int,
+                   iters: int, eps: float, hiX: float, TB: int = 16,
                    interpret: bool = False):
     """One pyramid level of fused LK for T tracks.
 
@@ -160,16 +165,20 @@ def lk_level_fused(imgJ, imgI, cj, ci, aJ, a0, loY, win: int, iters: int,
     rx column roll = exact corner - x0) for template / search strips.
     aJ: [T, 2] f32 template window anchor (ay, ax) in compacted-strip
     coords; a0: [T, 2] initial search anchor; loY: [T] f32 row clip base
-    (search-strip row residual).  hiX: col clip bound (P - 2 - win).
+    (search-strip row residual).  valid: [T] bool — invalid tracks start
+    converged (their outputs are garbage and must be masked by the
+    caller).  hiX: col clip bound (P - 2 - win).
     Returns (a_final [T, 2] (ay, ax), min_eig [T], err [T]).
     """
     T = cj.shape[0]
     Tp = ((T + TB - 1) // TB) * TB
+    valid = valid.astype(jnp.int32)
     if Tp != T:
         # replicate the last real track (a zero-filled dummy would never
         # converge and keep its whole program iterating)
         idx = jnp.minimum(jnp.arange(Tp), T - 1)
-        cj, ci, aJ, a0, loY = (x[idx] for x in (cj, ci, aJ, a0, loY))
+        cj, ci, aJ, a0, loY, valid = (x[idx] for x in
+                                      (cj, ci, aJ, a0, loY, valid))
     kernel = functools.partial(_kernel, TB=TB, win=win, iters=iters,
                                eps=eps, hiX=hiX)
     a_out, eig, err = pl.pallas_call(
@@ -180,6 +189,7 @@ def lk_level_fused(imgJ, imgI, cj, ci, aJ, a0, loY, win: int, iters: int,
             pl.BlockSpec((TB, 3), lambda b: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TB, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TB, 2), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TB, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TB, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -204,5 +214,6 @@ def lk_level_fused(imgJ, imgI, cj, ci, aJ, a0, loY, win: int, iters: int,
         ],
         interpret=interpret,
     )(cj, ci, aJ.astype(jnp.float32), a0.astype(jnp.float32),
-      loY.astype(jnp.float32).reshape(Tp, 1), imgJ, imgI)
+      loY.astype(jnp.float32).reshape(Tp, 1), valid.reshape(Tp, 1),
+      imgJ, imgI)
     return a_out[:T], eig[:T, 0], err[:T, 0]
