@@ -299,6 +299,10 @@ def pack_jacobians(lin: Linearization, layout):
             _pad0(lin.J_obs_point)[layout.pslot])   # [P, Kp, 2, 3]
 
 
+# module-level jit: one compilation cache shared by every lm_solve call
+_pack_jacobians_jit = jax.jit(pack_jacobians)
+
+
 def _packed_ops(problem: BAProblem, lin: Linearization, layout,
                 packedJ=None):
     """Dense closure applies for the CG hot loop over the packed layout
@@ -342,6 +346,62 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
     return z_pose_major, hcc_obs, wt_from_z, w_apply, precond_obs_blocks
 
 
+def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
+                     packedJ=None):
+    """Packed applies for a per-device compact layout (one shard of
+    ba.packed.ShardedPackedLayout, leading axis squeezed).
+
+    Identical dense math to _packed_ops, but the tables cover only this
+    device's Fd poses / Pd landmarks: replicated [F, 6]/[P, 3] vectors are
+    gathered down through the row maps, partial results scatter-add back
+    through them ([Fd, 6] rows — 2-3 orders smaller than the COO form's
+    per-observation scatters).  Outputs are PARTIAL sums: the caller psums
+    over the mesh axis.  Also valid single-device (psum = identity).
+    """
+    pad0 = _pad0
+    F = problem.n_poses
+    P = problem.n_points
+    Jp_f, Jt_f, Jt_p = (pack_jacobians(lin, layout) if packedJ is None
+                        else packedJ)
+
+    def z_pose_major(v):                         # [F, 6] -> [Fd, Kf, 2]
+        vloc = pad0(v)[layout.rows_f]            # [Fd, 6]
+        return jnp.sum(Jp_f * vloc[:, None, None, :], axis=-1)
+
+    def scat_f(part):                            # [Fd, x] -> [F, x] partial
+        return jnp.zeros((F + 1,) + part.shape[1:], part.dtype).at[
+            layout.rows_f].add(part)[:F]
+
+    def scat_p(part):                            # [Pd, x] -> [P, x] partial
+        return jnp.zeros((P + 1,) + part.shape[1:], part.dtype).at[
+            layout.rows_p].add(part)[:P]
+
+    def hcc_obs(z):                              # [Fd, Kf, 2] -> [F, 6]
+        return scat_f(jnp.sum(Jp_f * z[..., None], axis=(1, 2)))
+
+    def wt_from_z(z):                            # [Fd, Kf, 2] -> [P, 3]
+        z_pm = pad0(z.reshape(-1, 2))[layout.idx_pm2f]   # [Pd, Kp, 2]
+        return scat_p(jnp.sum(Jt_p * z_pm[..., None], axis=(1, 2)))
+
+    def w_apply(u):                              # [P, 3] -> [F, 6]
+        uloc = pad0(u)[layout.rows_p]                        # [Pd, 3]
+        w_pm = jnp.sum(Jt_p * uloc[:, None, None, :], axis=-1)
+        w_f = pad0(w_pm.reshape(-1, 2))[layout.idx_f2pm]     # [Fd, Kf, 2]
+        return scat_f(jnp.sum(Jp_f * w_f[..., None], axis=(1, 2)))
+
+    def precond_obs_blocks(Hpp_inv):             # -> [F, 6, 6]
+        Hj = pad0(Hpp_inv)[layout.pid_f]                     # [Fd,Kf,3,3]
+        A = jnp.sum(Jp_f[:, :, :, :, None] * Jt_f[:, :, :, None, :],
+                    axis=2)                                  # [Fd,Kf,6,3]
+        AH = jnp.sum(A[:, :, :, :, None] * Hj[:, :, None, :, :], axis=3)
+        AHA = jnp.sum(AH[:, :, :, None, :] * A[:, :, None, :, :], axis=-1)
+        JJ = jnp.sum(Jp_f[:, :, :, :, None] * Jp_f[:, :, :, None, :],
+                     axis=2)
+        return scat_f(jnp.sum(JJ - AHA, axis=1))
+
+    return z_pose_major, hcc_obs, wt_from_z, w_apply, precond_obs_blocks
+
+
 def _w_t_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
     """v [F, 6] -> Hpc v = W^T v [P, 3]."""
     z = _Jv(lin.J_obs_pose, v[problem.obs_pose])
@@ -377,8 +437,16 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     The loop exits early once ||r|| <= cg_tol * ||b|| (while_loop — unlike
     a masked fori, converged solves stop paying matvecs).
     """
-    assert layout is None or axis_name is None, \
-        "packed layout is a single-device structure (sharded path uses COO)"
+    # Layout dispatch: the global-table PackedLayout is single-device; a
+    # squeezed ShardedPackedLayout shard (row-mapped compact tables) is the
+    # packed form for sharded solves — its partial outputs psum over the
+    # mesh axis, one collective per matvec leg, same as the COO form.
+    has_rows = layout is not None and hasattr(layout, "rows_f")
+    assert layout is None or has_rows or axis_name is None, \
+        ("global packed layout is single-device; shard with "
+         "ba.packed.build_sharded_packed_layout for axis_name solves")
+    psum_ = ((lambda x: jax.lax.psum(x, axis_name))
+             if axis_name is not None else (lambda x: x))
     pose_mask = lin.pose_free[:, None].astype(jnp.float32)
     point_mask = lin.point_free[:, None].astype(jnp.float32)
     F = problem.n_poses
@@ -392,18 +460,19 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
         return linalg.solve3x3_sym(Hpp_d, t) * point_mask
 
     if layout is not None:
-        _z_f, _hcc_obs, _wt_z, _w_ap, _pre_obs = _packed_ops(
+        _ops = _packed_ops_rows if has_rows else _packed_ops
+        _z_f, _hcc_obs, _wt_z, _w_ap, _pre_obs = _ops(
             problem, lin, layout, packedJ)
 
         def B_apply(vv):
             vv = vv * pose_mask
             z = _z_f(vv)  # shared between the Hcc and W^T products
-            hv = (_hcc_obs(z) + _hcc_rest(problem, lin, vv)
+            hv = (psum_(_hcc_obs(z)) + _hcc_rest(problem, lin, vv)
                   + (lam * jnp.maximum(lin.diag_pose, 1e-12)) * vv)
-            corr = _w_ap(hpp_solve(_wt_z(z)))
+            corr = psum_(_w_ap(hpp_solve(psum_(_wt_z(z)))))
             return (hv - corr) * pose_mask
 
-        b = -lin.g_pose + _w_ap(hpp_solve(lin.g_point))
+        b = -lin.g_pose + psum_(_w_ap(hpp_solve(lin.g_point)))
     else:
         def B_apply(vv):
             vv = vv * pose_mask
@@ -430,7 +499,7 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     eye6 = jnp.eye(6, dtype=jnp.float32)
     Hpp_inv = linalg.inv3x3(Hpp_d) * point_mask[..., None]  # [P, 3, 3]
     if layout is not None:
-        blk = _pre_obs(Hpp_inv)
+        blk = psum_(_pre_obs(Hpp_inv))
     else:
         # per-observation W block A = Jp^T Jpt [O, 6, 3] and its Schur
         # correction A Hpp_j^-1 A^T (elementwise contractions: full f32)
@@ -483,7 +552,7 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
 
     # back-substitute landmarks: dp = -Hpp^-1 (g_p + W^T dc)
     if layout is not None:
-        wt_dc = _wt_z(_z_f(delta_pose))
+        wt_dc = psum_(_wt_z(_z_f(delta_pose)))
     else:
         wt_dc = _w_t_apply(problem, lin, delta_pose, axis_name)
     delta_point = -hpp_solve(lin.g_point + wt_dc)
@@ -629,10 +698,9 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
     lam = lam0
     cost = float(compute_cost(problem, v))
     history = [cost]
-    pack = jax.jit(pack_jacobians)
     for it in range(max_iters):
         lin = linearize(problem, v)
-        pJ = (pack(lin, layout)
+        pJ = (_pack_jacobians_jit(lin, layout)
               if layout is not None and method != "dense" else None)
         improved = False
         for _ in range(6):  # lambda escalation attempts

@@ -10,6 +10,7 @@ never per-observation data.
 """
 
 from mqslam_tpu.parallel.sharded_ba import (  # noqa: F401
-    make_sharded_lm_iteration, shard_problem_for_mesh, sharded_lm_solve,
+    build_layout_for_mesh, make_sharded_lm_iteration,
+    shard_problem_for_mesh, sharded_lm_solve,
 )
 from mqslam_tpu.parallel import multihost  # noqa: F401

@@ -24,8 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mqslam_tpu.ba import solver as ba_solver
 from mqslam_tpu.ba.problem import BAProblem, BAVariables
 
-__all__ = ["shard_problem_for_mesh", "make_sharded_lm_iteration",
-           "sharded_lm_solve"]
+__all__ = ["pad_problem_for_shards", "shard_problem_for_mesh", "build_layout_for_mesh",
+           "make_sharded_lm_iteration", "sharded_lm_solve"]
 
 _OBS_FIELDS = ("obs_uv", "obs_pose", "obs_cam", "obs_point", "obs_sigma",
                "obs_valid")
@@ -42,38 +42,95 @@ def _obs_spec(axis: str):
     return BAProblem(**specs)
 
 
+def pad_problem_for_shards(problem: BAProblem, n: int) -> BAProblem:
+    """Pad the observation arrays to a multiple of ``n`` (inert padding).
+    Host-local — safe to call on the replicated pre-placement problem in
+    multi-process runs."""
+    O = problem.obs_uv.shape[0]
+    O_pad = ((O + n - 1) // n) * n
+    if O_pad == O:
+        return problem
+    pad = O_pad - O
+
+    def pad0(a):
+        cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg)
+
+    problem = problem._replace(
+        **{f: pad0(getattr(problem, f)) for f in _OBS_FIELDS})
+    return problem._replace(
+        obs_valid=problem.obs_valid.at[O:].set(False),
+        obs_sigma=problem.obs_sigma.at[O:].set(1.0))
+
+
 def shard_problem_for_mesh(problem: BAProblem, mesh: Mesh,
                            axis: str = "data") -> BAProblem:
     """Pad the observation arrays to a multiple of the mesh axis size and
     place them with the sharded layout (other leaves replicated)."""
-    n = mesh.shape[axis]
-    O = problem.obs_uv.shape[0]
-    O_pad = ((O + n - 1) // n) * n
-    if O_pad != O:
-        pad = O_pad - O
-
-        def pad0(a):
-            cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-            return jnp.pad(a, cfg)
-
-        problem = problem._replace(
-            **{f: pad0(getattr(problem, f)) for f in _OBS_FIELDS})
-        # padded observations must be inert
-        problem = problem._replace(
-            obs_valid=problem.obs_valid.at[O:].set(False),
-            obs_sigma=problem.obs_sigma.at[O:].set(1.0))
+    problem = pad_problem_for_shards(problem, mesh.shape[axis])
     specs = _obs_spec(axis)
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
         problem, specs)
 
 
+def build_layout_for_mesh(problem: BAProblem, mesh: Mesh,
+                          axis: str = "data"):
+    """Per-device compact packed layout for a problem already padded to
+    the mesh axis size, placed with the shard axis on the mesh.
+
+    The index arrays must be process-locally fetchable: pass the PADDED
+    pre-placement problem (pad_problem_for_shards) in multi-process runs —
+    a globally-sharded problem's obs arrays span non-addressable devices.
+    Returns None when the packed tables would blow past the ratio guard
+    (degenerate observation distributions) — COO applies then."""
+    from mqslam_tpu.ba.packed import build_sharded_packed_layout
+
+    n = mesh.shape[axis]
+    layout = build_sharded_packed_layout(
+        np.asarray(problem.obs_pose), np.asarray(problem.obs_point),
+        np.asarray(problem.obs_valid), problem.n_poses, problem.n_points, n)
+    if layout is None:
+        return None
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), layout)
+
+
 def make_sharded_lm_iteration(mesh: Mesh, cg_iters: int = 200,
-                              cg_tol: float = 1e-10, axis: str = "data"):
+                              cg_tol: float = 1e-10, axis: str = "data",
+                              with_layout: bool = False):
     """Build the jitted sharded LM iteration
-    (problem, vars, lam) -> (delta_pose, delta_point, cost)."""
+    (problem, vars, lam[, layout]) -> (delta_pose, delta_point, cost).
+
+    With ``with_layout``, the iteration takes a ShardedPackedLayout whose
+    leading axis is split over the mesh: each device squeezes its shard and
+    runs the dense row-mapped packed matvecs (solver._packed_ops_rows)
+    instead of the per-observation gather/scatter COO form — the same psum
+    pattern, ~75x less scatter traffic per CG iteration at corridor scale
+    (see ba/packed.py)."""
     specs = _obs_spec(axis)
     var_spec = BAVariables(P(), P(), P())
+
+    if with_layout:
+        from mqslam_tpu.ba.packed import ShardedPackedLayout
+        layout_specs = ShardedPackedLayout(
+            *([P(axis)] * len(ShardedPackedLayout._fields)))
+
+        def _iteration(problem, v, lam, layout):
+            layout = jax.tree_util.tree_map(lambda a: a[0], layout)
+            lin = ba_solver.linearize(problem, v, axis_name=axis)
+            dc, dp, _ = ba_solver.solve_delta(problem, lin, lam,
+                                              cg_iters=cg_iters,
+                                              cg_tol=cg_tol,
+                                              axis_name=axis, layout=layout)
+            return dc, dp, lin.cost
+
+        sharded = jax.shard_map(
+            _iteration, mesh=mesh,
+            in_specs=(specs, var_spec, P(), layout_specs),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+        return jax.jit(sharded)
 
     def _iteration(problem, v, lam):
         lin = ba_solver.linearize(problem, v, axis_name=axis)
@@ -107,14 +164,29 @@ def _sharded_cost(mesh: Mesh, axis: str = "data"):
 
 def sharded_lm_solve(problem: BAProblem, mesh: Mesh, max_iters: int = 40,
                      lam0: float = 1e-6, cg_iters: int = 1000,
-                     axis: str = "data", verbose: bool = False):
+                     axis: str = "data", verbose: bool = False,
+                     layout="auto"):
     """LM outer loop over the sharded iteration (host accept/reject).
 
     Semantics match ba.solver.lm_solve; computation shards over ``mesh``.
+    ``layout="auto"`` builds the per-device packed layout (dense matvecs,
+    no per-observation scatters in the CG loop) and falls back to COO when
+    the layout build bails out; pass ``layout=None`` to force COO.
     """
-    problem = shard_problem_for_mesh(problem, mesh, axis)
-    lm_iter = make_sharded_lm_iteration(mesh, cg_iters=cg_iters, axis=axis)
+    padded = pad_problem_for_shards(problem, mesh.shape[axis])
+    if layout == "auto":
+        # build from the replicated pre-placement arrays: a global sharded
+        # array is not host-fetchable in multi-process runs
+        layout = build_layout_for_mesh(padded, mesh, axis)
+    problem = shard_problem_for_mesh(padded, mesh, axis)
+    lm_iter = make_sharded_lm_iteration(mesh, cg_iters=cg_iters, axis=axis,
+                                        with_layout=layout is not None)
     cost_fn = _sharded_cost(mesh, axis)
+
+    def iterate(v, lam):
+        if layout is not None:
+            return lm_iter(problem, v, jnp.float32(lam), layout)
+        return lm_iter(problem, v, jnp.float32(lam))
 
     v = problem.init
     lam = lam0
@@ -123,7 +195,7 @@ def sharded_lm_solve(problem: BAProblem, mesh: Mesh, max_iters: int = 40,
     for it in range(max_iters):
         improved = False
         for _ in range(6):
-            dc, dp, _ = lm_iter(problem, v, jnp.float32(lam))
+            dc, dp, _ = iterate(v, lam)
             v_try = ba_solver.apply_delta(v, dc, dp)
             nc = float(cost_fn(problem, v_try))
             if nc < cost:
