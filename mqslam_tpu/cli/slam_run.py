@@ -51,6 +51,13 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="resume from --checkpoint instead of starting "
                          "from frame 0")
+    ap.add_argument("--debug-dir", default=None,
+                    help="write Composite 2D/3D debug views (PNG) here — "
+                         "the headless equivalent of slam2's __debug__ "
+                         "windows (slam2.py:1227-1242)")
+    ap.add_argument("--debug-every", type=int, default=10,
+                    help="debug-view period in frames (keyframes and "
+                         "rejected frames always draw)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -136,7 +143,9 @@ def main(argv=None):
                                          if args.checkpoint else 0),
                        checkpoint_path=args.checkpoint,
                        resume_from=(args.checkpoint if args.resume
-                                    else None))
+                                    else None),
+                       debug_dir=args.debug_dir,
+                       debug_every=args.debug_every)
 
     tum.save_trajectory(args.traj_out, res.trajectory)
     gray = np.clip(res.point_colors, 0, 255).astype(np.uint8)

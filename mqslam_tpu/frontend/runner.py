@@ -8,6 +8,7 @@ entirely — the next flow starts from the last accepted image and the
 trajectory keeps a hole (slam2.py:1221-1225).
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -49,7 +50,8 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                  loop_min_gap: int = 5, loop_min_matches: int = 25,
                  max_keyframes: int = 256, t0: float = 0.0,
                  checkpoint_every: int = 0, checkpoint_path: str = None,
-                 resume_from: str = None):
+                 resume_from: str = None, debug_dir: str = None,
+                 debug_every: int = 10):
     """Run the front-end over a grayscale image sequence.
 
     images: iterable of [H, W] float arrays (0..255). init_uv/init_objp:
@@ -73,12 +75,59 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
     resumable state (tracker pytree incl. PRNG key + host bookkeeping) is
     written every N accepted frames; ``resume_from`` restarts mid-sequence
     bit-identically to an uninterrupted run (frontend/checkpoint.py).
+
+    ``debug_dir`` writes the Composite 2D/3D debug views (viz/painter.py —
+    the headless equivalent of slam2's __debug__ windows, slam2.py:78-286,
+    1227-1242) as PNGs every ``debug_every`` frames, plus every keyframe
+    and every rejected frame (red border).
     """
     if resume_from and loop_closure:
         raise ValueError("resume_from with loop_closure is not supported")
     images = iter(images)
     first = np.asarray(next(images), dtype=np.float32)
     step, refill_kf, _ = trk.make_step(cal, config)
+
+    # --- headless debug views (slam2's __debug__ composite windows,
+    #     slam2.py:78-286, 1227-1242, rendered to PNGs every N frames) ---
+    painter2d = painter3d = None
+    if debug_dir:
+        from mqslam_tpu.core.camera import K_from_cal
+        from mqslam_tpu.viz.painter import (Composite2DPainter,
+                                            Composite3DPainter)
+        os.makedirs(debug_dir, exist_ok=True)
+        h0, w0 = first.shape[:2]
+        painter2d = Composite2DPainter((w0, h0))
+        # bird's-eye-ish view pulled back along +z (navigable in the
+        # interactive reference; fixed here — headless)
+        P_view = np.eye(4)
+        P_view[2, 3] = 12.0
+        painter3d = Composite3DPainter(P_view[:3], (w0, h0))
+        dbg_K = np.asarray(K_from_cal(cal), np.float64)
+        dbg_dist = np.asarray([float(cal.k1), float(cal.k2),
+                               float(cal.p1), float(cal.p2)])
+
+    def debug_draw(frame_idx, img_np, status, rvec, tvec, uv, alive,
+                   triangulated, objp_idx):
+        if painter2d is None:
+            return
+        if status > 0 and not (status == 2
+                               or frame_idx % max(debug_every, 1) == 0):
+            return
+        n = int(state.n_objp)
+        painter2d.draw(img_np, rvec, tvec, status, dbg_K, dbg_dist,
+                       uv, alive, triangulated, objp_idx,
+                       np.asarray(state.objp),
+                       np.asarray(state.objp_group),
+                       int(state.group_id), depth_labels=False)
+        painter2d.save(os.path.join(debug_dir,
+                                    f"composite2d_{frame_idx:05d}.png"))
+        painter3d.draw(rvec, tvec, status,
+                       np.asarray(state.objp[:n]),
+                       np.asarray(state.objp_color[:n]),
+                       np.asarray(state.objp_group[:n]),
+                       neg_fy=float(cal.fy) < 0)
+        painter3d.save(os.path.join(debug_dir,
+                                    f"composite3d_{frame_idx:05d}.png"))
 
     resume_state = None
     if resume_from:
@@ -184,6 +233,9 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
                            int(out.reject_code), "?")
                 print(f"frame {frame_idx}: REJECTED ({why}, "
                       f"lost_ratio={float(out.lost_ratio):.2f})")
+            debug_draw(frame_idx, np.asarray(new_img), 0, out.rvec,
+                       out.tvec, out.cur_uv, out.track_alive,
+                       out.track_triangulated, out.objp_idx)
             continue  # prev_img stays the last accepted image
 
         poses.append(_cam_to_world(out.rvec, out.tvec))
@@ -282,6 +334,9 @@ def run_frontend(images, cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
             print(f"frame {frame_idx}: acc={acc} "
                   f"tracks={int(out.n_tracks)} "
                   f"H-cond={float(out.homography_condition):.3f}")
+        debug_draw(frame_idx, np.asarray(new_img), acc, out.rvec, out.tvec,
+                   out.cur_uv, out.track_alive, out.track_triangulated,
+                   out.objp_idx)
         if (live_update_period and traj_out_file
                 and frame_idx % live_update_period == 0):
             _write_live(state, poses, fps, traj_out_file, map_out_file,

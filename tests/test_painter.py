@@ -121,3 +121,29 @@ class TestPainters:
                       groups)
         p.save(str(tmp_path / "c3d.png"))
         assert len(p.cams_pos) == 2 and len(p.cams_pos_keyfr) == 1
+
+
+class TestDebugDirIntegration:
+    """--debug-dir wiring: run_frontend writes Composite 2D/3D PNGs
+    (the headless slam2 __debug__ views, slam2.py:1227-1242)."""
+
+    def test_run_frontend_writes_debug_views(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_frontend import make_sequence, init_from_frame0, CAL, CFG
+        from mqslam_tpu.frontend.runner import run_frontend
+
+        rng = np.random.RandomState(3)
+        imgs, P_gt = make_sequence(rng, 8)
+        uv0, objp0 = init_from_frame0(imgs[0], P_gt[0])
+        dbg = str(tmp_path / "dbg")
+        run_frontend(imgs, CAL, CFG, uv0, objp0, fps=30.0,
+                     collect_ba=False, debug_dir=dbg, debug_every=3)
+        files = sorted(os.listdir(dbg))
+        two_d = [f for f in files if f.startswith("composite2d_")]
+        three_d = [f for f in files if f.startswith("composite3d_")]
+        assert two_d and three_d
+        from PIL import Image
+        im = np.asarray(Image.open(os.path.join(dbg, two_d[0])))
+        assert im.ndim == 3 and im.shape[2] == 3
+        assert im.max() > 0  # something was drawn
