@@ -24,9 +24,12 @@ program:
      exactly once per level, and the loop exits as soon as the program's
      TB tracks have all converged (group early exit).
 
-Window sampling inside the kernel is a dynamic sublane slice + row lerp +
-one banded-matrix matmul (Mosaic supports dynamic slicing on the sublane
-axis only; column interpolation rides the MXU).
+Window sampling inside the kernel is a dynamic sublane slice + row lerp
+(Mosaic supports dynamic slicing on the sublane axis only) followed by a
+dynamic lane-roll + column lerp on the full 128-lane tile — all VPU work.
+(A banded-matrix matmul per sample was the original form; its
+[win, 128] x [128, win] products used ~3% of an MXU pass and made the
+Newton loop the A=8 front-end's dominant cost — see _samp.)
 """
 
 import functools
@@ -43,18 +46,33 @@ __all__ = ["lk_level_fused"]
 _COMPACT = 128  # compacted patch lane width (one lane tile)
 
 
-def _samp(pc, t, ay, ax, win):
-    """win x win window at fractional (ay, ax) from compact patch pc[t]."""
+def _rows_at(pc, t, iy, fy, win):
+    """Row-interpolated [win, COMPACT] slab at integer row iy + fraction
+    fy (dynamic sublane slice + lerp)."""
+    rows0 = pc[t, pl.ds(iy, win), :]
+    rows1 = pc[t, pl.ds(iy + 1, win), :]
+    return (1.0 - fy) * rows0 + fy * rows1
+
+
+def _samp(pc, t, ay, ax, win, mask):
+    """Full-lane-width window sample at fractional (ay, ax): columns
+    0..win-1 carry the win x win window, the rest are zeroed by ``mask``.
+
+    Column interpolation is a dynamic lane-roll + lerp (pure VPU work on
+    full [win, COMPACT] tiles).  The earlier banded-matmul form put a
+    [win, COMPACT] x [COMPACT, win] product on the MXU per sample —
+    21x21 useful lanes of a 128x128 pass, ~3% utilization — and made the
+    Newton loop MXU-bound at atlas track counts; the roll form runs the
+    3072-track level-0 call in 3.4 ms vs the matmul form's 5.2 ms
+    (scan-slope, v5e, 30-iteration budget)."""
     iy = jnp.floor(ay).astype(jnp.int32)
     fy = ay - iy.astype(jnp.float32)
-    rows0 = pc[t, pl.ds(iy, win), :]        # [win, COMPACT]
-    rows1 = pc[t, pl.ds(iy + 1, win), :]
-    rows = (1.0 - fy) * rows0 + fy * rows1
-    j = jax.lax.broadcasted_iota(jnp.int32, (_COMPACT, win), 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (_COMPACT, win), 1)
-    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(ax + k.astype(jnp.float32)
-                                        - j.astype(jnp.float32)))
-    return jnp.dot(rows, Wx, preferred_element_type=jnp.float32)
+    ix = jnp.floor(ax).astype(jnp.int32)
+    fx = ax - ix.astype(jnp.float32)
+    rows = _rows_at(pc, t, iy, fy, win)
+    r0 = pltpu.roll(rows, -ix, 1)
+    r1 = pltpu.roll(r0, _COMPACT - 1, 1)  # static +1-col shift
+    return ((1.0 - fx) * r0 + fx * r1) * mask
 
 
 def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
@@ -76,20 +94,36 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
         dma(ci_ref, imgI_ref, stripI, semI, t).wait()
         pIc[t] = pltpu.roll(stripI[t], -ci_ref[t, 2], 1)[:, :_COMPACT]
 
+    # lanes >= win are roll wrap-around garbage: zero them so window sums
+    # see exactly the win x win window
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (win, _COMPACT), 1)
+            < win).astype(jnp.float32)
+
     # template windows + gradients (central differences), min-eig gate.
-    # (Collapsing the five samples into one (win+2)^2 window + shifted
-    # slices is algebraically exact but measured 2x SLOWER: the off-tile
-    # lane/sublane slices force Mosaic relayouts that cost more than the
-    # four extra banded matmuls.)
+    # The +-1 column samples share the template's dynamic roll (they are
+    # static +-1-lane shifts of it); the +-1 row samples need their own
+    # row slabs (and rolls) but reuse the column fraction.
     Jws, dxs, dys, g00s, g01s, g11s, dets = [], [], [], [], [], [], []
     for t in range(TB):
         ayJ = aJ_ref[t, 0]
         axJ = aJ_ref[t, 1]
-        Jw = _samp(pJc, t, ayJ, axJ, win)
-        dx = 0.5 * (_samp(pJc, t, ayJ, axJ + 1.0, win)
-                    - _samp(pJc, t, ayJ, axJ - 1.0, win))
-        dy = 0.5 * (_samp(pJc, t, ayJ + 1.0, axJ, win)
-                    - _samp(pJc, t, ayJ - 1.0, axJ, win))
+        iyJ = jnp.floor(ayJ).astype(jnp.int32)
+        fyJ = ayJ - iyJ.astype(jnp.float32)
+        ixJ = jnp.floor(axJ).astype(jnp.int32)
+        fxJ = axJ - ixJ.astype(jnp.float32)
+        r0 = pltpu.roll(_rows_at(pJc, t, iyJ, fyJ, win), -ixJ, 1)
+        r1 = pltpu.roll(r0, _COMPACT - 1, 1)
+        r2 = pltpu.roll(r1, _COMPACT - 1, 1)
+        rm1 = pltpu.roll(r0, 1, 1)
+        Jw = ((1.0 - fxJ) * r0 + fxJ * r1) * mask
+        dx = 0.5 * (((1.0 - fxJ) * r1 + fxJ * r2)
+                    - ((1.0 - fxJ) * rm1 + fxJ * r0)) * mask
+        u0 = pltpu.roll(_rows_at(pJc, t, iyJ + 1, fyJ, win), -ixJ, 1)
+        u1 = pltpu.roll(u0, _COMPACT - 1, 1)
+        d0 = pltpu.roll(_rows_at(pJc, t, iyJ - 1, fyJ, win), -ixJ, 1)
+        d1 = pltpu.roll(d0, _COMPACT - 1, 1)
+        dy = 0.5 * (((1.0 - fxJ) * u0 + fxJ * u1)
+                    - ((1.0 - fxJ) * d0 + fxJ * d1)) * mask
         g00 = jnp.sum(dx * dx)
         g01 = jnp.sum(dx * dy)
         g11 = jnp.sum(dy * dy)
@@ -120,7 +154,7 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
         it, ays, axs, dones = carry
         ays2, axs2, dones2 = [], [], []
         for t in range(TB):
-            Iw = _samp(pIc, t, ays[t], axs[t], win)
+            Iw = _samp(pIc, t, ays[t], axs[t], win, mask)
             diff = Jws[t] - Iw
             b0 = jnp.sum(diff * dxs[t])
             b1 = jnp.sum(diff * dys[t])
@@ -148,14 +182,15 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
     for t in range(TB):
         a_out[t, 0] = ays[t]
         a_out[t, 1] = axs[t]
-        Iw = _samp(pIc, t, ays[t], axs[t], win)
-        err_ref[t, 0] = jnp.mean(jnp.abs(Jws[t] - Iw))
+        Iw = _samp(pIc, t, ays[t], axs[t], win, mask)
+        # masked lanes are zero in both windows; mean over the true window
+        err_ref[t, 0] = jnp.sum(jnp.abs(Jws[t] - Iw)) / (win * win)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "eps", "hiX",
                                              "TB", "interpret"))
 def lk_level_fused(imgJ, imgI, cj, ci, aJ, a0, loY, valid, win: int,
-                   iters: int, eps: float, hiX: float, TB: int = 16,
+                   iters: int, eps: float, hiX: float, TB: int = 8,
                    interpret: bool = False):
     """One pyramid level of fused LK for T tracks.
 
