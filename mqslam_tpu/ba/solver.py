@@ -152,11 +152,15 @@ def _residuals(problem: BAProblem, v: BAVariables):
     return r_obs, r_odo, r_pp, r_qp
 
 
-@jax.jit
-def compute_cost(problem: BAProblem, v: BAVariables):
+@partial(jax.jit, static_argnames=("axis_name",))
+def compute_cost(problem: BAProblem, v: BAVariables,
+                 axis_name: str = None):
     r_obs, r_odo, r_pp, r_qp = _residuals(problem, v)
-    return 0.5 * (jnp.sum(r_obs ** 2) + jnp.sum(r_odo ** 2)
-                  + jnp.sum(r_pp ** 2) + jnp.sum(r_qp ** 2))
+    c_obs = 0.5 * jnp.sum(r_obs ** 2)
+    if axis_name is not None:  # obs arrays sharded: psum the partial sum
+        c_obs = jax.lax.psum(c_obs, axis_name)
+    return c_obs + 0.5 * (jnp.sum(r_odo ** 2)
+                          + jnp.sum(r_pp ** 2) + jnp.sum(r_qp ** 2))
 
 
 @partial(jax.jit, static_argnames=("axis_name",))
@@ -731,16 +735,20 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
 
 
 @partial(jax.jit, static_argnames=("max_iters", "max_retries", "method",
-                                   "cg_iters"))
+                                   "cg_iters", "axis_name"))
 def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
                     lam0, lam_up, lam_down, max_retries: int, method: str,
-                    cg_iters: int, cg_tol, layout=None):
+                    cg_iters: int, cg_tol, layout=None,
+                    axis_name: str = None):
+    assert axis_name is None or method == "cg", \
+        "the sharded device loop is CG-only (dense needs global W)"
+
     def solve(lin, lam, packedJ=None):
         if method == "dense":
             return solve_delta_dense(problem, lin, lam)
         dc, dp, _ = solve_delta(problem, lin, lam, cg_iters=cg_iters,
                                 cg_tol=cg_tol, layout=layout,
-                                packedJ=packedJ)
+                                packedJ=packedJ, axis_name=axis_name)
         return dc, dp
 
     def v_where(pred, a: BAVariables, b: BAVariables) -> BAVariables:
@@ -753,7 +761,7 @@ def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
 
     def outer_body(st):
         it, v, lam, cost, _, hist = st
-        lin = linearize(problem, v)
+        lin = linearize(problem, v, axis_name=axis_name)
         # pack once per linearization; the attempt loop reuses it
         pJ = (pack_jacobians(lin, layout)
               if layout is not None and method != "dense" else None)
@@ -762,7 +770,7 @@ def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
             k, lam, accepted, v, cost = st2
             dc, dp = solve(lin, lam, pJ)
             v_try = apply_delta(v, dc, dp)
-            new_cost = compute_cost(problem, v_try)
+            new_cost = compute_cost(problem, v_try, axis_name=axis_name)
             ok = new_cost < cost
             v = v_where(ok, v_try, v)
             cost = jnp.where(ok, new_cost, cost)
@@ -780,7 +788,7 @@ def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
         it, _, _, _, improving, _ = st
         return (it < max_iters) & improving
 
-    cost0 = compute_cost(problem, v0)
+    cost0 = compute_cost(problem, v0, axis_name=axis_name)
     hist = jnp.full(max_iters + 1, jnp.nan, jnp.float32).at[0].set(cost0)
     it, v, _, cost, _, hist = jax.lax.while_loop(
         outer_cond, outer_body,

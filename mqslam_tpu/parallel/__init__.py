@@ -11,6 +11,7 @@ never per-observation data.
 
 from mqslam_tpu.parallel.sharded_ba import (  # noqa: F401
     build_layout_for_mesh, make_sharded_lm_iteration,
-    shard_problem_for_mesh, sharded_lm_solve,
+    pad_problem_for_shards, shard_problem_for_mesh, sharded_lm_solve,
+    sharded_lm_solve_device,
 )
 from mqslam_tpu.parallel import multihost  # noqa: F401

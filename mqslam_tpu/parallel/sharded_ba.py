@@ -24,8 +24,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mqslam_tpu.ba import solver as ba_solver
 from mqslam_tpu.ba.problem import BAProblem, BAVariables
 
-__all__ = ["pad_problem_for_shards", "shard_problem_for_mesh", "build_layout_for_mesh",
-           "make_sharded_lm_iteration", "sharded_lm_solve"]
+__all__ = ["pad_problem_for_shards", "shard_problem_for_mesh",
+           "build_layout_for_mesh", "make_sharded_lm_iteration",
+           "sharded_lm_solve", "sharded_lm_solve_device"]
 
 _OBS_FIELDS = ("obs_uv", "obs_pose", "obs_cam", "obs_point", "obs_sigma",
                "obs_valid")
@@ -210,3 +211,63 @@ def sharded_lm_solve(problem: BAProblem, mesh: Mesh, max_iters: int = 40,
         if not improved:
             break
     return v, history
+
+
+def sharded_lm_solve_device(problem: BAProblem, mesh: Mesh,
+                            max_iters: int = 40, lam0: float = 1e-6,
+                            lam_up: float = 8.0, lam_down: float = 2.0,
+                            max_retries: int = 6, cg_iters: int = 1000,
+                            cg_tol: float = 1e-10, axis: str = "data",
+                            layout="auto"):
+    """sharded_lm_solve with the ENTIRE LM outer loop on device.
+
+    One shard_map dispatch runs every iteration: linearize + packed/COO
+    Schur-CG solve + accept/reject, with the psum'ed global cost driving
+    identical accept decisions on every device (the multi-chip analog of
+    ba.solver.lm_solve_device — the host-driven sharded loop pays a full
+    host round-trip per solve attempt). CG-only (the dense path needs the
+    global W). Returns (v, history_list, n_iters) like lm_solve_device.
+    """
+    padded = pad_problem_for_shards(problem, mesh.shape[axis])
+    if layout == "auto":
+        layout = build_layout_for_mesh(padded, mesh, axis)
+    problem_s = shard_problem_for_mesh(padded, mesh, axis)
+    specs = _obs_spec(axis)
+    var_spec = BAVariables(P(), P(), P())
+
+    if layout is not None:
+        from mqslam_tpu.ba.packed import ShardedPackedLayout
+        layout_specs = ShardedPackedLayout(
+            *([P(axis)] * len(ShardedPackedLayout._fields)))
+
+        def _solve(problem, v0, lay):
+            lay = jax.tree_util.tree_map(lambda a: a[0], lay)
+            return ba_solver._lm_device_loop(
+                problem, v0, max_iters, jnp.float32(lam0),
+                jnp.float32(lam_up), jnp.float32(lam_down), max_retries,
+                "cg", cg_iters, jnp.float32(cg_tol), layout=lay,
+                axis_name=axis)
+
+        fn = jax.jit(jax.shard_map(
+            _solve, mesh=mesh,
+            in_specs=(specs, var_spec, layout_specs),
+            out_specs=(var_spec, P(), P()),
+            check_vma=False))
+        v, hist, it = fn(problem_s, problem_s.init, layout)
+    else:
+        def _solve(problem, v0):
+            return ba_solver._lm_device_loop(
+                problem, v0, max_iters, jnp.float32(lam0),
+                jnp.float32(lam_up), jnp.float32(lam_down), max_retries,
+                "cg", cg_iters, jnp.float32(cg_tol), axis_name=axis)
+
+        fn = jax.jit(jax.shard_map(
+            _solve, mesh=mesh,
+            in_specs=(specs, var_spec),
+            out_specs=(var_spec, P(), P()),
+            check_vma=False))
+        v, hist, it = fn(problem_s, problem_s.init)
+
+    hist_np, n = jax.device_get((hist, it))
+    n = int(n)
+    return v, [float(h) for h in hist_np[:n + 1]], n

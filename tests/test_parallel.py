@@ -8,7 +8,8 @@ from jax.sharding import Mesh
 
 from mqslam_tpu.ba import problem as bp, solver as bs, synthetic as basyn
 from mqslam_tpu.parallel import build_layout_for_mesh, sharded_lm_solve, \
-    shard_problem_for_mesh, make_sharded_lm_iteration
+    sharded_lm_solve_device, shard_problem_for_mesh, \
+    make_sharded_lm_iteration
 
 needs_devices = pytest.mark.skipif(len(jax.devices()) < 8,
                                    reason="needs 8 virtual devices")
@@ -127,6 +128,20 @@ class TestShardedPackedBA:
         np.testing.assert_allclose(
             np.asarray(dpp), np.asarray(dpc),
             atol=2e-3 * max(float(jnp.abs(dpc).max()), 1e-6))
+
+    def test_device_loop_matches_host_loop(self, corridor):
+        """sharded_lm_solve_device: the whole sharded LM loop as one
+        shard_map dispatch must land in the host-driven loop's basin
+        (accept decisions are driven by the same psum'ed global cost)."""
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        v_h, h_h = sharded_lm_solve(corridor, mesh, max_iters=8,
+                                    cg_iters=200)
+        v_d, h_d, n = sharded_lm_solve_device(corridor, mesh, max_iters=8,
+                                              cg_iters=200)
+        assert n == len(h_d) - 1
+        assert abs(h_d[-1] - h_h[-1]) < 2e-2 * max(abs(h_h[-1]), 1e-6)
+        np.testing.assert_allclose(np.asarray(v_d.pose_t),
+                                   np.asarray(v_h.pose_t), atol=5e-3)
 
     def test_degenerate_distribution_falls_back(self):
         """A problem whose observations concentrate on one pose trips the
