@@ -70,8 +70,11 @@ def fit_homography(pts1, pts2, valid=None):
     rows = jnp.concatenate([row_a * w[..., None], row_b * w[..., None]],
                            axis=-2)  # [..., 2K, 9]
     S = linalg.gram(rows)
-    _, V = linalg.eigh_jacobi(S, sweeps=10)
-    h = V[..., :, 0]
+    # 9x9 null-space by shifted inverse iteration (see linalg; this runs
+    # once per RANSAC hypothesis through pnp_planar, where the Jacobi
+    # eigensolve was a dominant cost). 4 iterations: homography fits are
+    # noisier/less separated than DLT minimal sets.
+    h = linalg.smallest_eigvec_spd(S, iters=4)
     Hn = h.reshape(h.shape[:-1] + (3, 3))
     H = _denormalize_H(Hn, mean1, s1, mean2, s2)
     norm = jnp.sqrt(jnp.sum(H * H, axis=(-2, -1), keepdims=True))

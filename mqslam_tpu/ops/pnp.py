@@ -44,8 +44,11 @@ def pnp_dlt(objp, uv_norm, weights=None):
         w2 = jnp.concatenate([weights, weights], axis=-1)[..., None]
         rows = rows * w2
     S = linalg.gram(rows)  # [..., 12, 12]
-    w, V = linalg.eigh_jacobi(S, sweeps=8)
-    p = V[..., :, 0]  # smallest eigenvector [..., 12]
+    # null-space extraction by shifted inverse iteration — minimal RANSAC
+    # sets make S exactly singular, so this converges in one solve; the
+    # 12x12 Jacobi eigensolve it replaces was the front-end's second-
+    # largest cost after LK (prof_pnp.py)
+    p = linalg.smallest_eigvec_spd(S, iters=3)  # [..., 12]
     M = p.reshape(p.shape[:-1] + (3, 4))
 
     Mr = M[..., :3]
@@ -190,6 +193,10 @@ def pnp_refine(objp, uv_px, cal, rvec0, tvec0, valid=None, iters: int = 10,
     if valid is None:
         valid = jnp.ones(objp.shape[:-1], dtype=bool)
     w = valid.astype(objp.dtype)
+    # invalid slots may carry NaN (e.g. never-initialized tracker slots);
+    # masking multiplies by 0 which does NOT absorb NaN — zero them first
+    objp = jnp.where(valid[..., None], objp, 0.0)
+    uv_px = jnp.where(valid[..., None], uv_px, 0.0)
 
     def step(_, params):
         r = _proj_residual(params, objp, uv_px, cal)
@@ -227,6 +234,10 @@ def pnp_ransac(objp, uv_px, cal, valid, key, n_hyp: int = 128,
     """
     K = objp.shape[0]
     dt = objp.dtype
+    # NaN in invalid slots would poison hypothesis scoring (err2 = NaN
+    # compares False — fine) and the final refine (J * 0 = NaN — fatal)
+    objp = jnp.where(valid[:, None], objp, 0.0)
+    uv_px = jnp.where(valid[:, None], uv_px, 0.0)
 
     # Random valid minimal sets: per-hypothesis random keys, invalid points
     # pushed to the end, take the first `sample_size` after argsort.
@@ -255,10 +266,23 @@ def pnp_ransac(objp, uv_px, cal, valid, key, n_hyp: int = 128,
     use = jnp.where(jnp.sum(inlier_mask) >= sample_size, inlier_mask, valid)
     rvec, tvec = pnp_refine(objp, uv_px, cal, rvec0, tvec0, valid=use,
                             iters=refine_iters)
-    # Recompute the inlier set at the refined pose (cv2 reports inliers of
-    # the final model).
-    Pr = se3.from_rvec_tvec(rvec, tvec)
-    proj_r, depth_r = cam_mod.project(objp, Pr, cal)
-    err2_r = jnp.sum((proj_r - uv_px) ** 2, axis=-1)
-    inlier_mask = (err2_r < reproj_threshold ** 2) & valid & (depth_r > 0)
+
+    def recount(rv, tv):
+        Pr = se3.from_rvec_tvec(rv, tv)
+        proj_r, depth_r = cam_mod.project(objp, Pr, cal)
+        err2_r = jnp.sum((proj_r - uv_px) ** 2, axis=-1)
+        return (err2_r < reproj_threshold ** 2) & valid & (depth_r > 0)
+
+    # Expand-and-re-refine: a minimal-set hypothesis is rough (its 2 px
+    # band captures only part of the true inlier set), so one refine on
+    # that partial set lands off the full-set optimum. Recount at the
+    # refined pose and refine again on the grown set — the role of the
+    # reference's follow-up cv2.solvePnP on the RANSAC inliers
+    # (slam2.py:482-490), folded into this op.
+    grown = recount(rvec, tvec)
+    use2 = jnp.where(jnp.sum(grown) >= sample_size, grown, use)
+    rvec, tvec = pnp_refine(objp, uv_px, cal, rvec, tvec, valid=use2,
+                            iters=refine_iters)
+    # cv2 reports inliers of the final model
+    inlier_mask = recount(rvec, tvec)
     return rvec, tvec, inlier_mask, jnp.sum(inlier_mask)
