@@ -6,17 +6,33 @@ those run at gather/scatter-engine speed: at corridor scale (F=2048,
 O=370k) one CG iteration measured ~15 ms against a ~0.2 ms HBM-bandwidth
 bound — 75x off speed-of-light (prof_ba5.py).
 
+Measured on a v5e core (prof_ba5.py scan-slope, 2026-08; corridor
+scenario, 25-iteration CG budget):
+
+  F=512,  O=92k:   COO 2.86 ms/CG-iter -> packed 0.49 ms  (5.8x)
+  F=2048, O=370k:  COO 15.0 ms/CG-iter -> packed 2.43 ms  (6.2x)
+
+(The first packed generation permuted flat [O, 2] tensors between the
+layouts per matvec — that gather alone was ~3.3 ms at F=2048; the dual
+Jacobian packing replaced it with [P, Kp, 6]-row gathers of the
+replicated state, 1.14 ms.)  One-time per linearization: pack 31 ms
+(both Jacobians in both layouts), preconditioner 5 ms — a few CG
+iterations' worth against the 150-1000-iteration budgets real solves
+use.
+
 This module converts the COO observation lists into two dense padded
 layouts, built once per problem (host NumPy, static shapes):
 
   pose-major:  slot [F, Kf] — every pose's observations in its own row
   point-major: slot [P, Kp] — every landmark's observations in its row
 
-plus the cross-permutations between the two flat slot spaces.  The solver
+plus per-slot ids of the OTHER variable (pid_f / fid_p).  The solver
 packs the per-observation Jacobians into [F, Kf, ...] / [P, Kp, ...]
-arrays ONCE per linearization; each CG matvec is then pure dense
-einsums + a single [O, 2]-row permutation gather — no scatter at all.
-Padding slots point at an appended zero row, so they contribute nothing.
+arrays ONCE per linearization (both Jacobians in both layouts); each CG
+matvec is then pure dense einsums + gathers of the small replicated
+[F, 6]/[P, 3] state vectors — no scatter and no per-observation
+permutation at all.  Padding slots point at an appended zero row, so
+they contribute nothing.
 
 Role model: the reference's one true parallel kernel is an OpenMP loop
 over landmarks (reference: Work/python_libs/triangulation_c/
@@ -34,16 +50,21 @@ __all__ = ["PackedLayout", "build_packed_layout",
 
 
 class PackedLayout(NamedTuple):
-    """Index structure; all entries int32, sentinels point past the end."""
+    """Index structure; all entries int32, sentinels point past the end.
+
+    ``pid_f``/``fid_p`` carry the OTHER variable's id per slot: cross-layout
+    products gather the small replicated [F, 6]/[P, 3] vectors through them
+    instead of permuting flat per-observation tensors between the layouts —
+    the earlier idx_pm2f/idx_f2pm [O, 2]-row permutation gathers were the
+    dominant CG-iteration cost at corridor scale (the ``w`` leg alone
+    ~3.3 ms of a 3.98 ms iteration at F=2048)."""
     fslot: jnp.ndarray      # [F, Kf] flat obs index (sentinel = O)
     pslot: jnp.ndarray      # [P, Kp] flat obs index (sentinel = O)
-    idx_pm2f: jnp.ndarray   # [P, Kp] pose-major flat slot of the same obs
-                            #         (sentinel = F * Kf)
-    idx_f2pm: jnp.ndarray   # [F, Kf] point-major flat slot of the same obs
-                            #         (sentinel = P * Kp)
     pid_f: jnp.ndarray      # [F, Kf] landmark id per pose-major slot
                             #         (sentinel = P: callers pad with a
                             #         zero block)
+    fid_p: jnp.ndarray      # [P, Kp] pose id per point-major slot
+                            #         (sentinel = F)
 
     @property
     def Kf(self):
@@ -89,19 +110,16 @@ def build_packed_layout(obs_pose, obs_point, obs_valid, n_poses: int,
         # no valid observations: nothing to pack (and the pid_f build
         # below would index an empty array) — COO handles the empty case
         return None
-    fslot, inv_f, Kf = _slot_table(op, sel, n_poses, O)
-    pslot, inv_p, Kp = _slot_table(opt, sel, n_points, O)
+    fslot, _, Kf = _slot_table(op, sel, n_poses, O)
+    pslot, _, Kp = _slot_table(opt, sel, n_points, O)
     n_obs = max(len(sel), 1)
     if n_poses * Kf > max_ratio * n_obs or n_points * Kp > max_ratio * n_obs:
         return None
-    # cross-permutations: follow slot -> obs -> other layout's slot
-    idx_pm2f = inv_f[pslot]                      # [P, Kp]
-    idx_f2pm = inv_p[fslot]                      # [F, Kf]
     pid_f = np.where(fslot < O, opt[np.minimum(fslot, O - 1)], n_points)
+    fid_p = np.where(pslot < O, op[np.minimum(pslot, O - 1)], n_poses)
     i32 = lambda a: jnp.asarray(a, jnp.int32)
     return PackedLayout(fslot=i32(fslot), pslot=i32(pslot),
-                        idx_pm2f=i32(idx_pm2f), idx_f2pm=i32(idx_f2pm),
-                        pid_f=i32(pid_f))
+                        pid_f=i32(pid_f), fid_p=i32(fid_p))
 
 
 class ShardedPackedLayout(NamedTuple):
@@ -119,9 +137,8 @@ class ShardedPackedLayout(NamedTuple):
     """
     fslot: jnp.ndarray      # [D, Fd, Kf] local obs index (sentinel = per)
     pslot: jnp.ndarray      # [D, Pd, Kp] local obs index (sentinel = per)
-    idx_pm2f: jnp.ndarray   # [D, Pd, Kp] pose-major flat slot (sent Fd*Kf)
-    idx_f2pm: jnp.ndarray   # [D, Fd, Kf] point-major flat slot (sent Pd*Kp)
     pid_f: jnp.ndarray      # [D, Fd, Kf] GLOBAL landmark id (sentinel = P)
+    fid_p: jnp.ndarray      # [D, Pd, Kp] GLOBAL pose id (sentinel = F)
     rows_f: jnp.ndarray     # [D, Fd] global pose id per row (sentinel = F)
     rows_p: jnp.ndarray     # [D, Pd] global landmark id (sentinel = P)
 
@@ -144,15 +161,14 @@ def _shard_tables(op, opt, ov, n_poses, n_points, lo, hi):
     op_rows[sel] = op_row
     opt_rows = np.zeros(per, np.int64)
     opt_rows[sel] = opt_row
-    fslot, inv_f, Kf = _slot_table(op_rows, sel, max(len(rows_f), 1), per)
-    pslot, inv_p, Kp = _slot_table(opt_rows, sel, max(len(rows_p), 1), per)
-    idx_pm2f = inv_f[pslot]
-    idx_f2pm = inv_p[fslot]
+    fslot, _, Kf = _slot_table(op_rows, sel, max(len(rows_f), 1), per)
+    pslot, _, Kp = _slot_table(opt_rows, sel, max(len(rows_p), 1), per)
     pid_f = np.where(fslot < per,
                      opt_l[np.minimum(fslot, max(per - 1, 0))], n_points)
-    return dict(fslot=fslot, pslot=pslot, idx_pm2f=idx_pm2f,
-                idx_f2pm=idx_f2pm, pid_f=pid_f, rows_f=rows_f,
-                rows_p=rows_p, Kf=Kf, Kp=Kp, per=per)
+    fid_p = np.where(pslot < per,
+                     op_l[np.minimum(pslot, max(per - 1, 0))], n_poses)
+    return dict(fslot=fslot, pslot=pslot, pid_f=pid_f, fid_p=fid_p,
+                rows_f=rows_f, rows_p=rows_p, Kf=Kf, Kp=Kp, per=per)
 
 
 def build_sharded_packed_layout(obs_pose, obs_point, obs_valid,
@@ -190,18 +206,6 @@ def build_sharded_packed_layout(obs_pose, obs_point, obs_valid,
         out = np.full((n_shards, rows, K), sent, dtype=np.int64)
         for d, s in enumerate(shards):
             t = s[key]
-            # remap this shard's flat-slot sentinels to the padded space
-            if key == "idx_pm2f":
-                t = np.where(t >= s["fslot"].shape[0] * s["Kf"], Fd * Kf, t)
-                # re-express valid flat slots in the padded [Fd, Kf] space
-                valid = t < Fd * Kf
-                r, c = t // s["Kf"], t % s["Kf"]
-                t = np.where(valid, r * Kf + c, Fd * Kf)
-            elif key == "idx_f2pm":
-                t = np.where(t >= s["pslot"].shape[0] * s["Kp"], Pd * Kp, t)
-                valid = t < Pd * Kp
-                r, c = t // s["Kp"], t % s["Kp"]
-                t = np.where(valid, r * Kp + c, Pd * Kp)
             out[d, :t.shape[0], :t.shape[1]] = t
         return out
 
@@ -215,8 +219,7 @@ def build_sharded_packed_layout(obs_pose, obs_point, obs_valid,
     return ShardedPackedLayout(
         fslot=i32(stack("fslot", Fd, Kf, per)),
         pslot=i32(stack("pslot", Pd, Kp, per)),
-        idx_pm2f=i32(stack("idx_pm2f", Pd, Kp, Fd * Kf)),
-        idx_f2pm=i32(stack("idx_f2pm", Fd, Kf, Pd * Kp)),
         pid_f=i32(stack("pid_f", Fd, Kf, n_points)),
+        fid_p=i32(stack("fid_p", Pd, Kp, n_poses)),
         rows_f=i32(stack_rows("rows_f", Fd, n_poses)),
         rows_p=i32(stack_rows("rows_p", Pd, n_points)))

@@ -296,11 +296,15 @@ def _pad0(a):
 
 def pack_jacobians(lin: Linearization, layout):
     """Gather the per-observation Jacobians into the dual dense layout —
-    ONCE per linearization (the gathers cost as much as a CG iteration;
-    re-packing per solve attempt would give most of the win back)."""
+    ONCE per linearization (the gathers cost a few CG iterations;
+    re-packing per solve attempt would give most of the win back).
+    BOTH Jacobians land in BOTH layouts so every cross product contracts
+    in place and only the [F, 6]/[P, 3] state vectors are ever
+    gathered."""
     return (_pad0(lin.J_obs_pose)[layout.fslot],    # [F, Kf, 2, 6]
             _pad0(lin.J_obs_point)[layout.fslot],   # [F, Kf, 2, 3]
-            _pad0(lin.J_obs_point)[layout.pslot])   # [P, Kp, 2, 3]
+            _pad0(lin.J_obs_point)[layout.pslot],   # [P, Kp, 2, 3]
+            _pad0(lin.J_obs_pose)[layout.pslot])    # [P, Kp, 2, 6]
 
 
 # module-level jit: one compilation cache shared by every lm_solve call
@@ -313,12 +317,16 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
     (ba/packed.py).
 
     Every apply is broadcast+sum (full-f32 VPU, bandwidth-bound) plus at
-    most one [O, 2]-row permutation gather; no scatter-adds.  Padding
-    slots index appended zero rows and contribute nothing.
+    most one gather of the small replicated [F, 6]/[P, 3] state vector
+    (pid_f/fid_p row ids); no scatter-adds and no per-observation
+    permutations (an earlier form permuted flat [O, 2] tensors between
+    the layouts — that gather alone was ~3.3 ms of a 3.98 ms CG
+    iteration at F=2048).  Padding slots index appended zero rows and
+    contribute nothing.
     """
     pad0 = _pad0
-    Jp_f, Jt_f, Jt_p = (pack_jacobians(lin, layout) if packedJ is None
-                        else packedJ)
+    Jp_f, Jt_f, Jt_p, Jp_p = (pack_jacobians(lin, layout)
+                              if packedJ is None else packedJ)
 
     def z_pose_major(v):                         # [F, 6] -> [F, Kf, 2]
         return jnp.sum(Jp_f * v[:, None, None, :], axis=-1)
@@ -326,13 +334,14 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
     def hcc_obs(z):                              # [F, Kf, 2] -> [F, 6]
         return jnp.sum(Jp_f * z[..., None], axis=(1, 2))
 
-    def wt_from_z(z):                            # [F, Kf, 2] -> [P, 3]
-        z_pm = pad0(z.reshape(-1, 2))[layout.idx_pm2f]   # [P, Kp, 2]
+    def wt_from_v(v):                            # [F, 6] -> [P, 3]
+        vp = pad0(v)[layout.fid_p]                       # [P, Kp, 6]
+        z_pm = jnp.sum(Jp_p * vp[:, :, None, :], axis=-1)  # [P, Kp, 2]
         return jnp.sum(Jt_p * z_pm[..., None], axis=(1, 2))
 
     def w_apply(u):                              # [P, 3] -> [F, 6]
-        w_pm = jnp.sum(Jt_p * u[:, None, None, :], axis=-1)  # [P, Kp, 2]
-        w_f = pad0(w_pm.reshape(-1, 2))[layout.idx_f2pm]     # [F, Kf, 2]
+        uf = pad0(u)[layout.pid_f]                       # [F, Kf, 3]
+        w_f = jnp.sum(Jt_f * uf[:, :, None, :], axis=-1)   # [F, Kf, 2]
         return jnp.sum(Jp_f * w_f[..., None], axis=(1, 2))
 
     def precond_obs_blocks(Hpp_inv):             # -> [F, 6, 6]
@@ -347,7 +356,7 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
                      axis=2)                                 # [F, Kf, 6, 6]
         return jnp.sum(JJ - AHA, axis=1)
 
-    return z_pose_major, hcc_obs, wt_from_z, w_apply, precond_obs_blocks
+    return z_pose_major, hcc_obs, wt_from_v, w_apply, precond_obs_blocks
 
 
 def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
@@ -365,8 +374,8 @@ def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
     pad0 = _pad0
     F = problem.n_poses
     P = problem.n_points
-    Jp_f, Jt_f, Jt_p = (pack_jacobians(lin, layout) if packedJ is None
-                        else packedJ)
+    Jp_f, Jt_f, Jt_p, Jp_p = (pack_jacobians(lin, layout)
+                              if packedJ is None else packedJ)
 
     def z_pose_major(v):                         # [F, 6] -> [Fd, Kf, 2]
         vloc = pad0(v)[layout.rows_f]            # [Fd, 6]
@@ -383,14 +392,14 @@ def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
     def hcc_obs(z):                              # [Fd, Kf, 2] -> [F, 6]
         return scat_f(jnp.sum(Jp_f * z[..., None], axis=(1, 2)))
 
-    def wt_from_z(z):                            # [Fd, Kf, 2] -> [P, 3]
-        z_pm = pad0(z.reshape(-1, 2))[layout.idx_pm2f]   # [Pd, Kp, 2]
+    def wt_from_v(v):                            # [F, 6] -> [P, 3]
+        vp = pad0(v)[layout.fid_p]               # [Pd, Kp, 6] (global ids)
+        z_pm = jnp.sum(Jp_p * vp[:, :, None, :], axis=-1)
         return scat_p(jnp.sum(Jt_p * z_pm[..., None], axis=(1, 2)))
 
     def w_apply(u):                              # [P, 3] -> [F, 6]
-        uloc = pad0(u)[layout.rows_p]                        # [Pd, 3]
-        w_pm = jnp.sum(Jt_p * uloc[:, None, None, :], axis=-1)
-        w_f = pad0(w_pm.reshape(-1, 2))[layout.idx_f2pm]     # [Fd, Kf, 2]
+        uf = pad0(u)[layout.pid_f]               # [Fd, Kf, 3] (global ids)
+        w_f = jnp.sum(Jt_f * uf[:, :, None, :], axis=-1)
         return scat_f(jnp.sum(Jp_f * w_f[..., None], axis=(1, 2)))
 
     def precond_obs_blocks(Hpp_inv):             # -> [F, 6, 6]
@@ -403,7 +412,7 @@ def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
                      axis=2)
         return scat_f(jnp.sum(JJ - AHA, axis=1))
 
-    return z_pose_major, hcc_obs, wt_from_z, w_apply, precond_obs_blocks
+    return z_pose_major, hcc_obs, wt_from_v, w_apply, precond_obs_blocks
 
 
 def _w_t_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
@@ -465,15 +474,14 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
 
     if layout is not None:
         _ops = _packed_ops_rows if has_rows else _packed_ops
-        _z_f, _hcc_obs, _wt_z, _w_ap, _pre_obs = _ops(
+        _z_f, _hcc_obs, _wt_v, _w_ap, _pre_obs = _ops(
             problem, lin, layout, packedJ)
 
         def B_apply(vv):
             vv = vv * pose_mask
-            z = _z_f(vv)  # shared between the Hcc and W^T products
-            hv = (psum_(_hcc_obs(z)) + _hcc_rest(problem, lin, vv)
+            hv = (psum_(_hcc_obs(_z_f(vv))) + _hcc_rest(problem, lin, vv)
                   + (lam * jnp.maximum(lin.diag_pose, 1e-12)) * vv)
-            corr = psum_(_w_ap(hpp_solve(psum_(_wt_z(z)))))
+            corr = psum_(_w_ap(hpp_solve(psum_(_wt_v(vv)))))
             return (hv - corr) * pose_mask
 
         b = -lin.g_pose + psum_(_w_ap(hpp_solve(lin.g_point)))
@@ -556,7 +564,7 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
 
     # back-substitute landmarks: dp = -Hpp^-1 (g_p + W^T dc)
     if layout is not None:
-        wt_dc = psum_(_wt_z(_z_f(delta_pose)))
+        wt_dc = psum_(_wt_v(delta_pose))
     else:
         wt_dc = _w_t_apply(problem, lin, delta_pose, axis_name)
     delta_point = -hpp_solve(lin.g_point + wt_dc)

@@ -82,14 +82,13 @@ for F in (512, 2048):
     t_pack = scan_slope(lambda l: solver.pack_jacobians(l, layout), lin)
 
     def packed_pieces(v6):
-        zf, hcc_obs, wt_z, w_ap, pre_obs = solver._packed_ops(
+        zf, hcc_obs, wt_v, w_ap, pre_obs = solver._packed_ops(
             problem, lin, layout, pJ)
-        z = zf(v6)
-        return hcc_obs(z), wt_z(z)
+        return hcc_obs(zf(v6)), wt_v(v6)
     t_zh = scan_slope(packed_pieces, vv6)
 
     def packed_w(u3):
-        zf, hcc_obs, wt_z, w_ap, pre_obs = solver._packed_ops(
+        zf, hcc_obs, wt_v, w_ap, pre_obs = solver._packed_ops(
             problem, lin, layout, pJ)
         return w_ap(u3)
     t_pw = scan_slope(packed_w, uu3)
@@ -100,7 +99,7 @@ for F in (512, 2048):
         Hpp_d = lin.Hpp + (l * jnp.maximum(dp_, 1e-12))[..., None] \
             * jnp.eye(3)[None]
         Hpp_inv = linalg.inv3x3(Hpp_d)
-        zf, hcc_obs, wt_z, w_ap, pre_obs = solver._packed_ops(
+        zf, hcc_obs, wt_v, w_ap, pre_obs = solver._packed_ops(
             problem, lin, layout, pJ)
         return pre_obs(Hpp_inv)
     t_pre = scan_slope(packed_pre, lam)

@@ -323,7 +323,7 @@ class TestPackedLayout:
         layout = self._layout(prob)
         assert layout is not None
         lin = ba_solver.linearize(prob, prob.init)
-        zf, hcc_obs, wt_z, w_ap, pre_obs = ba_solver._packed_ops(
+        zf, hcc_obs, wt_v, w_ap, pre_obs = ba_solver._packed_ops(
             prob, lin, layout)
 
         rng = np.random.RandomState(0)
@@ -340,9 +340,9 @@ class TestPackedLayout:
                                    np.asarray(hcc_coo), rtol=1e-4,
                                    atol=1e-3 * float(
                                        jnp.abs(hcc_coo).max()))
-        # W^T v (pose -> point) via the cross-permutation
+        # W^T v (pose -> point) via the dual-layout Jacobians
         wt_coo = ba_solver._w_t_apply(prob, lin, v6)
-        np.testing.assert_allclose(np.asarray(wt_z(z)), np.asarray(wt_coo),
+        np.testing.assert_allclose(np.asarray(wt_v(v6)), np.asarray(wt_coo),
                                    rtol=1e-4,
                                    atol=1e-3 * float(jnp.abs(wt_coo).max()))
         # W u (point -> pose)
@@ -475,7 +475,7 @@ class TestPackedLayout:
         # problem to f32 roundoff (a full CG solve comparison would only
         # measure the sparsified system's conditioning, not the layout)
         lin = ba_solver.linearize(prob, prob.init)
-        zf, hcc_obs, wt_z, w_ap, _ = ba_solver._packed_ops(
+        zf, hcc_obs, wt_v, w_ap, _ = ba_solver._packed_ops(
             prob, lin, layout)
         from jax.ops import segment_sum
         v6 = jnp.asarray(rng.randn(prob.n_poses, 6), jnp.float32)
@@ -488,7 +488,7 @@ class TestPackedLayout:
             atol=1e-5 * float(jnp.abs(hcc_coo).max()))
         wt_coo = ba_solver._w_t_apply(prob, lin, v6)
         np.testing.assert_allclose(
-            np.asarray(wt_z(z)), np.asarray(wt_coo), rtol=1e-5,
+            np.asarray(wt_v(v6)), np.asarray(wt_coo), rtol=1e-5,
             atol=1e-5 * float(jnp.abs(wt_coo).max()))
 
 
