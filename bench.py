@@ -202,7 +202,66 @@ def bench_ba_iters(max_iters=15, repeats=2):
         _, hist_d, n_iters = bs.lm_solve_device(prob, max_iters=max_iters)
         best_dev = min(best_dev, time.perf_counter() - t0)
     dev_ips = round(max(n_iters, 1) / best_dev, 3)
-    return dev_ips, host_ips, src
+
+    # device-resident incremental BA (full step schedule, one dispatch;
+    # ba/incremental.py::incremental_solve_device)
+    inc_sps = None
+    if src == "svo-real-dump":
+        from mqslam_tpu.ba import incremental as binc
+        _log("compiling device-resident incremental BA")
+        binc.incremental_solve_device(data, prob, use_odometry=False)
+        best_inc = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _, hist_i = binc.incremental_solve_device(data, prob,
+                                                      use_odometry=False)
+            best_inc = min(best_inc, time.perf_counter() - t0)
+        inc_sps = round(len(hist_i) / best_inc, 2)
+    return dev_ips, host_ips, inc_sps, src
+
+
+def bench_corridor_cg(F=2048, ppf=24, repeats=3):
+    """Per-CG-iteration throughput of the packed large-scale BA path at
+    production scale (corridor F=2048, O~370k — the scale GTSAM's
+    elimination served in the reference, bundle_adjust.cpp:320-348).
+
+    Scan-slope between a 25- and a 100-iteration CG budget (cg_tol=0 runs
+    the full budget), packed layout vs COO."""
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.ba import solver as bs, synthetic as bsyn
+    from mqslam_tpu.ba.packed import build_packed_layout
+
+    prob, _ = bsyn.generate_corridor_problem(nr_frames=F,
+                                             points_per_frame=ppf)
+    O = int(np.asarray(prob.obs_valid).sum())
+    layout = build_packed_layout(prob.obs_pose, prob.obs_point,
+                                 prob.obs_valid, prob.n_poses,
+                                 prob.n_points)
+    lin = jax.jit(bs.linearize)(prob, prob.init)
+    jax.block_until_ready(lin.cost)
+    lam = jnp.float32(1e-3)
+    pJ = bs._pack_jacobians_jit(lin, layout)
+    jax.block_until_ready(pJ[0])
+
+    out = {"F": F, "O": O}
+    for name, lay, pj in (("packed", layout, pJ), ("coo", None, None)):
+        ts = {}
+        for budget in (25, 100):
+            fn = lambda l: bs.solve_delta(prob, lin, l, cg_iters=budget,
+                                          cg_tol=0.0, layout=lay,
+                                          packedJ=pj)[0]
+            jax.block_until_ready(fn(lam))
+            best = np.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(lam))
+                best = min(best, time.perf_counter() - t0)
+            ts[budget] = best
+        per_iter = (ts[100] - ts[25]) / 75
+        out[name + "_cg_iter_ms"] = round(per_iter * 1e3, 3)
+        out[name + "_cg_iters_per_s"] = round(1.0 / per_iter, 1)
+    return out
 
 
 def bench_triangulation(n_scan=20, repeats=3, N=65536):
@@ -362,9 +421,13 @@ def main():
     tri_mps = bench_triangulation()
     _log(f"triangulation throughput Mpts/s: {tri_mps}")
 
-    ba_ips, ba_host_ips, ba_src = bench_ba_iters()
+    corridor = bench_corridor_cg()
+    _log(f"corridor-scale CG: {corridor}")
+
+    ba_ips, ba_host_ips, ba_inc_sps, ba_src = bench_ba_iters()
     _log(f"BA: {ba_ips} LM iterations/s device-loop "
-         f"({ba_host_ips} host-loop) on {ba_src}")
+         f"({ba_host_ips} host-loop), incremental {ba_inc_sps} steps/s "
+         f"on {ba_src}")
 
     base = bench_opencv_baseline(imgs, P_list, f, size, plane_z)
     if base is None:
@@ -387,9 +450,11 @@ def main():
             "single_agent_vs_cv2": round(fps1 / base, 3),
             "ba_lm_iterations_per_s": ba_ips,
             "ba_lm_iterations_per_s_host_loop": ba_host_ips,
+            "ba_incremental_steps_per_s": ba_inc_sps,
             "ba_workload": ba_src,
             "lk_per_call_ms": lk_ms,
             "triangulation_mpts_per_s": tri_mps,
+            "corridor_cg": corridor,
             "cv2_ladder_fps_host": round(base, 3),
         },
     }))
