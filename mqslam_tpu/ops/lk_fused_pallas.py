@@ -100,9 +100,15 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
             < win).astype(jnp.float32)
 
     # template windows + gradients (central differences), min-eig gate.
-    # The +-1 column samples share the template's dynamic roll (they are
-    # static +-1-lane shifts of it); the +-1 row samples need their own
-    # row slabs (and rolls) but reuse the column fraction.
+    # ONE [win+2, COMPACT] lerped slab per track serves the window AND
+    # both central-difference gradients: its single dynamic lane-roll is
+    # shared, the +-1-column samples are static lane shifts, and the
+    # +-1-row samples are static sublane rolls of the same slab (wrapped
+    # rows are sliced away).  This replaced three separate slab builds
+    # (6 loads + 3 dynamic rolls per track) with 2 loads + 1 dynamic
+    # roll — template setup, not the Newton loop, is the level call's
+    # dominant cost (iters=0 measures ~same as iters=30).
+    W2 = win + 2
     Jws, dxs, dys, g00s, g01s, g11s, dets = [], [], [], [], [], [], []
     for t in range(TB):
         ayJ = aJ_ref[t, 0]
@@ -111,19 +117,20 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, loY_ref, valid_ref, imgJ_ref,
         fyJ = ayJ - iyJ.astype(jnp.float32)
         ixJ = jnp.floor(axJ).astype(jnp.int32)
         fxJ = axJ - ixJ.astype(jnp.float32)
-        r0 = pltpu.roll(_rows_at(pJc, t, iyJ, fyJ, win), -ixJ, 1)
-        r1 = pltpu.roll(r0, _COMPACT - 1, 1)
-        r2 = pltpu.roll(r1, _COMPACT - 1, 1)
-        rm1 = pltpu.roll(r0, 1, 1)
-        Jw = ((1.0 - fxJ) * r0 + fxJ * r1) * mask
-        dx = 0.5 * (((1.0 - fxJ) * r1 + fxJ * r2)
-                    - ((1.0 - fxJ) * rm1 + fxJ * r0)) * mask
-        u0 = pltpu.roll(_rows_at(pJc, t, iyJ + 1, fyJ, win), -ixJ, 1)
-        u1 = pltpu.roll(u0, _COMPACT - 1, 1)
-        d0 = pltpu.roll(_rows_at(pJc, t, iyJ - 1, fyJ, win), -ixJ, 1)
-        d1 = pltpu.roll(d0, _COMPACT - 1, 1)
-        dy = 0.5 * (((1.0 - fxJ) * u0 + fxJ * u1)
-                    - ((1.0 - fxJ) * d0 + fxJ * d1)) * mask
+        slabA = pJc[t, pl.ds(iyJ - 1, W2), :]
+        slabB = pJc[t, pl.ds(iyJ, W2), :]
+        slab = (1.0 - fyJ) * slabA + fyJ * slabB  # rows iyJ-1+fy ..
+        s0 = pltpu.roll(slab, -ixJ, 1)
+        s1 = pltpu.roll(s0, _COMPACT - 1, 1)      # +1 col
+        s2 = pltpu.roll(s1, _COMPACT - 1, 1)      # +2 col
+        sm1 = pltpu.roll(s0, 1, 1)                # -1 col
+        C = (1.0 - fxJ) * s0 + fxJ * s1           # sampled at axJ
+        Cp = (1.0 - fxJ) * s1 + fxJ * s2          # at axJ + 1
+        Cm = (1.0 - fxJ) * sm1 + fxJ * s0         # at axJ - 1
+        # row views: slab row 1+k is window row k at ayJ; 0/2 are ay -/+ 1
+        Jw = pltpu.roll(C, W2 - 1, 0)[:win] * mask
+        dx = pltpu.roll(0.5 * (Cp - Cm), W2 - 1, 0)[:win] * mask
+        dy = 0.5 * (pltpu.roll(C, W2 - 2, 0)[:win] - C[:win]) * mask
         g00 = jnp.sum(dx * dx)
         g01 = jnp.sum(dx * dy)
         g11 = jnp.sum(dy * dy)
