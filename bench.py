@@ -35,18 +35,19 @@ def _log(msg):
           file=sys.stderr, flush=True)
 
 
-def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0):
+def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0,
+                   seed=7, ang_rate=0.05, vel=(1.2, 0.15, 0.2)):
     from mqslam_tpu.frontend import synthetic
 
-    rng = np.random.RandomState(7)
+    rng = np.random.RandomState(seed)
     tex = synthetic.make_texture(rng)
     P_list = []
     for i in range(n_frames):
         frac = i / max(n_frames - 1, 1)
-        ang = 0.05 * frac
+        ang = ang_rate * frac
         ca, sa = np.cos(ang), np.sin(ang)
         R = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
-        center = np.array([1.2 * frac, 0.15 * frac, 0.2 * frac])
+        center = np.array(vel) * frac
         P = np.eye(4)
         P[:3, :3] = R
         P[:3, 3] = -R @ center
@@ -54,6 +55,27 @@ def build_sequence(n_frames=33, size=(640, 480), f=500.0, plane_z=4.0):
     imgs = synthetic.render_plane_sequence(np.stack(P_list), tex, size=size,
                                            f=f, plane_z=plane_z)
     return imgs, np.stack(P_list), f, size, plane_z
+
+
+def build_divergent_fleet(A, n_frames=33, size=(640, 480), f=500.0,
+                          plane_z=4.0):
+    """A INDEPENDENT agents: distinct textures, start offsets, turn rates
+    and velocities — keyframe phases de-synchronize across the fleet, so
+    the masked keyframe branch is paid on realistically many frame-groups
+    (the reference's semantics: N independent slam2 processes,
+    Work/SLAM/application/own/slam2.py:1021-1253).  The cloned-broadcast
+    variant (one state, one sequence) is kept in bench_multi as a
+    comparison row."""
+    seqs = []
+    for a in range(A):
+        sgn = 1.0 if a % 2 == 0 else -1.0
+        ang_rate = sgn * (0.03 + 0.015 * ((a * 7) % 5))
+        vel = (sgn * (0.8 + 0.12 * (a % 4)), 0.1 + 0.02 * (a % 3),
+               0.1 + 0.05 * ((a * 3) % 4))
+        seqs.append(build_sequence(n_frames=n_frames, size=size, f=f,
+                                   plane_z=plane_z, seed=100 + a,
+                                   ang_rate=ang_rate, vel=vel))
+    return seqs
 
 
 def _bootstrap_state(imgs, P_list, f, size, plane_z):
@@ -97,6 +119,8 @@ def bench_single(cal, config, state, imgs, repeats=3):
 
 
 def bench_multi(cal, config, state, imgs, A, repeats=3):
+    """Cloned-broadcast fleet: ONE state and ONE image sequence broadcast
+    to all A agents (comparison row; keyframe phases coincide)."""
     import jax
     import jax.numpy as jnp
     from mqslam_tpu.frontend import tracker as trk
@@ -109,6 +133,34 @@ def bench_multi(cal, config, state, imgs, A, repeats=3):
     _log(f"compiling multi-agent runner A={A}")
     out = jax.block_until_ready(run(states, imgs_dev))
     n = imgs.shape[0] - 1
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(states, imgs_dev))
+        best = min(best, time.perf_counter() - t0)
+    accepted = np.asarray(out[1][0])
+    return A * n / best, int((accepted > 0).sum()), A * n
+
+
+def bench_multi_divergent(cal, config, A, repeats=3):
+    """Divergent fleet (the HEADLINE): A independent agents with distinct
+    textures/trajectories (build_divergent_fleet), each bootstrapped on
+    its own first frame.  Returns (aggregate fps, tracked, total)."""
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.frontend import tracker as trk
+
+    seqs = build_divergent_fleet(A)
+    states = []
+    for imgs_a, P_list, f, size, plane_z in seqs:
+        _, _, st = _bootstrap_state(imgs_a, P_list, f, size, plane_z)
+        states.append(st)
+    states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    imgs_dev = jnp.asarray(np.stack([s[0] for s in seqs]))
+    run = trk.make_multi_agent_runner(cal, config)
+    _log(f"compiling divergent multi-agent runner A={A}")
+    out = jax.block_until_ready(run(states, imgs_dev))
+    n = imgs_dev.shape[1] - 1
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -406,14 +458,26 @@ def main():
     fps1, ok1, n1 = bench_single(cal, config, state, imgs)
     _log(f"single-agent: {fps1:.1f} frames/s ({ok1}/{n1} tracked)")
 
+    # HEADLINE sweep: divergent fleet (independent per-agent trajectories
+    # and textures; keyframe phases de-synchronized — the reference's
+    # N-independent-processes semantics)
     scaling = {1: round(fps1, 3)}
     for A in (2, 4, 8, 16, 32):
-        fpsA, okA, nA = bench_multi(cal, config, state, imgs, A)
+        fpsA, okA, nA = bench_multi_divergent(cal, config, A)
         scaling[A] = round(fpsA, 3)
-        _log(f"A={A}: {fpsA:.1f} aggregate frames/s ({okA}/{nA} tracked)")
+        _log(f"A={A} divergent: {fpsA:.1f} aggregate frames/s "
+             f"({okA}/{nA} tracked)")
         if okA < nA:  # tracking broke down — don't report a bogus point
             _log(f"A={A}: only {okA}/{nA} tracked; stopping the sweep")
             break
+
+    # cloned-broadcast comparison row (round-4's headline shape)
+    cloned = {}
+    for A in (8, 16):
+        fpsA, okA, nA = bench_multi(cal, config, state, imgs, A)
+        cloned[A] = round(fpsA, 3)
+        _log(f"A={A} cloned: {fpsA:.1f} aggregate frames/s "
+             f"({okA}/{nA} tracked)")
 
     lk_ms = bench_lk_impls(imgs)
     _log(f"LK per-call latency ms: {lk_ms}")
@@ -447,6 +511,7 @@ def main():
         "extra": {
             "best_A": best_A,
             "agents_scaling_fps": {str(k): v for k, v in scaling.items()},
+            "cloned_agents_fps": {str(k): v for k, v in cloned.items()},
             "single_agent_vs_cv2": round(fps1 / base, 3),
             "ba_lm_iterations_per_s": ba_ips,
             "ba_lm_iterations_per_s_host_loop": ba_host_ips,

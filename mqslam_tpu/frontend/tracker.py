@@ -463,7 +463,8 @@ def make_scan_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
     return run
 
 
-def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
+def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig,
+                            collect: bool = False):
     """Whole-sequence runner for A agents tracked concurrently: the step
     vmaps over the agent axis, so the latency-bound small ops amortize —
     the multi-quadrotor throughput path (aggregate frames/s scales with A
@@ -471,6 +472,13 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
 
     Returns jitted fn: (states [A-stacked pytree], imgs [A, T+1, H, W]) ->
     (final states, per-frame (accepted [T, A], rvec, tvec)).
+
+    ``collect=True`` appends the per-frame track-level outputs
+    (cur_uv, track_alive, track_triangulated, new_landmarks, pnp_inlier,
+    objp_idx) to the scan outputs so a host-side dump builder
+    (multiagent.fleet_dump.ba_data_from_scan) can reconstruct each
+    agent's BAData — the device-resident analog of run_frontend's
+    collect_ba bookkeeping.
     """
     _, _, step_pyr = make_step(cal, config)
     pad = lk.lk_pad(config.lk_win)
@@ -536,7 +544,12 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig):
             # keyframed (the single-agent scan has the same cond)
             states = jax.lax.cond(jnp.any(kf), do_refill, lambda s: s,
                                   states)
-            return (states, new_atlas), (out.accepted, out.rvec, out.tvec)
+            outs = (out.accepted, out.rvec, out.tvec)
+            if collect:
+                outs = outs + (out.cur_uv, out.track_alive,
+                               out.track_triangulated, out.new_landmarks,
+                               out.pnp_inlier, out.objp_idx)
+            return (states, new_atlas), outs
 
         n = imgs.shape[1] - 1
         atlas0 = atlas_pyramid(imgs[:, 0])

@@ -11,3 +11,4 @@ solver.
 """
 
 from mqslam_tpu.multiagent.merge import merge_agents, CrossOdometry  # noqa: F401
+from mqslam_tpu.multiagent.fleet_dump import ba_data_from_scan  # noqa: F401

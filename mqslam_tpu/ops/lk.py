@@ -169,12 +169,13 @@ def _window_multi(patches, ay, ax, win, prec=_HP):
 
 
 @partial(jax.jit, static_argnames=("win", "levels", "iters", "margin",
-                                   "eps", "impl", "interpret", "precision"))
+                                   "eps", "impl", "interpret", "precision",
+                                   "store_dtype"))
 def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
              levels: int = 3, iters: int = 30, eps: float = 0.01,
              min_eig_threshold: float = 1e-4, margin: int = 7,
              impl: str = "auto", interpret: bool = False,
-             precision: str = "default"):
+             precision: str = "default", store_dtype=None):
     """Track pts [N, 2] from prev_img to next_img.
 
     Returns (new_pts [N, 2], status [N] bool, err [N] f32). ``err`` is the
@@ -188,7 +189,8 @@ def lk_track(prev_img, next_img, pts, pts_valid=None, win: int = 21,
                         tuple(build_pyramid(next_img, levels)),
                         pts, pts_valid, win=win, iters=iters, eps=eps,
                         min_eig_threshold=min_eig_threshold, margin=margin,
-                        impl=impl, interpret=interpret, precision=precision)
+                        impl=impl, interpret=interpret, precision=precision,
+                        store_dtype=store_dtype)
 
 
 def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
@@ -197,7 +199,7 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                  impl: str = "auto", interpret: bool = False,
                  prepad: bool = False, atlas_agents=None,
                  atlas_tiles: int = 1, dma_extract=None,
-                 precision: str = "default"):
+                 precision: str = "default", store_dtype=None):
     """lk_track over prebuilt pyramids (tuples of [H,W] images, level 0 =
     full resolution). Lets sequential trackers reuse the previous frame's
     pyramid: one ``build_pyramid`` per frame instead of two.
@@ -286,7 +288,15 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
 
     if impl == "fused":
         # fully fused DMA-extraction + Newton kernel: needs only the track
-        # positions and the tile-padded level images
+        # positions and the raw level images (the driver builds the
+        # shifted strip copies).  store_dtype="auto" stores them bf16 on
+        # the real TPU backend — exact for 8-bit imagery at level 0,
+        # <= 0.4-intensity rounding on downsampled levels, and half the
+        # kernel's HBM traffic; tests pin "float32" for exact parity.
+        if store_dtype in (None, "auto"):
+            store_dtype = ("bfloat16" if (jax.default_backend() == "tpu"
+                                          and not interpret)
+                           else "float32")
         p_ls = []
         inside_all = jnp.ones(T, bool)
         for lvl in range(levels):
@@ -297,10 +307,10 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                                                  dtype=dt)), axis=-1)
             p_ls.append(p_l)
         return _lk_fused_levels(
-            [_pad_tiles(l) for l in Js], [_pad_tiles(l) for l in Is],
-            p_ls, pts, pts_valid & inside_all, shapes, win, iters, eps,
-            min_eig_threshold, margin,
-            interpret or jax.default_backend() != "tpu", row_offs)
+            Js, Is, p_ls, pts, pts_valid & inside_all, shapes, win, iters,
+            eps, min_eig_threshold, margin,
+            interpret or jax.default_backend() != "tpu", row_offs,
+            jnp.dtype(store_dtype))
 
     if dma_extract is None:
         dma_extract = (jax.default_backend() == "tpu" and impl == "xla"
@@ -464,15 +474,18 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
 
 
 def _lk_fused_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
-                     min_eig_threshold, margin, interpret, row_offs):
+                     min_eig_threshold, margin, interpret, row_offs,
+                     store_dtype):
     """Per-level driver for the fused DMA+Newton kernel
-    (ops/lk_fused_pallas.py).  Host side only computes strip corners and
-    window anchors; extraction, template setup, and the Newton loop all
-    run inside the kernel.  Clip semantics match ``_lk_pallas_levels``
-    (window start capped at P - 2 - win, one px tighter than the XLA
-    path's point cap — differences only at the patch-drift boundary)."""
+    (ops/lk_fused_pallas.py).  Host side builds each level's shifted
+    copies (``strip_copies`` — two 64-column-shifted stacked copies in
+    ``store_dtype``; bf16 halves the kernel's DMA traffic) and computes
+    strip corners + window anchors; extraction, template setup, and the
+    Newton loop all run inside the kernel.  Clip semantics match
+    ``_lk_pallas_levels`` (window start capped at P - 2 - win, one px
+    tighter than the XLA path's point cap — differences only at the
+    patch-drift boundary)."""
     from mqslam_tpu.ops import lk_fused_pallas as _fp
-    from mqslam_tpu.ops.extract_pallas import _clamped_corners, ROWS_CAP
 
     levels = len(Is)
     r = win // 2
@@ -483,38 +496,45 @@ def _lk_fused_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
     g = jnp.zeros_like(pts)
     err = None
     for lvl in range(levels - 1, -1, -1):
-        imgJ, imgI = Js[lvl], Is[lvl]
-        H, W = imgJ.shape
+        copJ = _fp.strip_copies(Js[lvl], store_dtype)
+        copI = _fp.strip_copies(Is[lvl], store_dtype)
+        Hp, Wp = copJ.shape[0] // 2, copJ.shape[1]
         off = row_offs[lvl]
         p_l = p_ls[lvl]
         pya = p_l[:, 1] + off
         pxa = p_l[:, 0]
         # template strip: 1-px margin (interpolation tap + gradient taps);
-        # clamp cap 26 keeps the +-1 gradient rows inside the 48-row strip
-        cyJ, cxJ, y0J, x0J = _clamped_corners(
+        # window reads TMPL_CAP rows x (win + 3) columns from its corner
+        yJ, xJ, cyJ, cxJ, ryJ, rxJ = _fp.strip_corners(
             jnp.floor(pya).astype(jnp.int32) - r - 1,
-            jnp.floor(pxa).astype(jnp.int32) - r - 1, H, W, 26)
-        aJy = jnp.clip(pya.astype(f32) - r - y0J, 1.0, ROWS_CAP - win - 2.0)
-        aJx = jnp.clip(pxa.astype(f32) - r - cxJ, 1.0, 128.0 - win - 2.0)
+            jnp.floor(pxa).astype(jnp.int32) - r - 1, Hp, Wp,
+            _fp.TMPL_ROWS, _fp.TMPL_CAP, win + 3)
+        aJy = jnp.clip(pya.astype(f32) - r - cyJ + ryJ, 1.0,
+                       _fp.TMPL_ROWS - win - 2.0)
+        aJx = jnp.clip(pxa.astype(f32) - r - cxJ + rxJ, 1.0, 100.0)
         # search strip at the level-start flow estimate
         q0 = p_l + g
         q0ya = q0[:, 1] + off
         q0xa = q0[:, 0]
-        cyI, cxI, y0I, x0I = _clamped_corners(
+        yI, xI, cyI, cxI, ryI, rxI = _fp.strip_corners(
             jnp.floor(q0ya).astype(jnp.int32) - r - margin,
-            jnp.floor(q0xa).astype(jnp.int32) - r - margin, H, W, P)
-        loY = (cyI - y0I).astype(f32)
-        a0y = jnp.clip(q0ya.astype(f32) - r - y0I, loY, loY + hiX)
-        a0x = jnp.clip(q0xa.astype(f32) - r - cxI, 0.0, hiX)
+            jnp.floor(q0xa).astype(jnp.int32) - r - margin, Hp, Wp,
+            _fp.SEARCH_ROWS, P, P)
+        loY = ryI.astype(f32)
+        loX = rxI.astype(f32)
+        a0y = jnp.clip(q0ya.astype(f32) - r - cyI + ryI, loY, loY + hiX)
+        a0x = jnp.clip(q0xa.astype(f32) - r - cxI + rxI, loX, loX + hiX)
         a_fin, eig, err_l = _fp.lk_level_fused(
-            imgJ, imgI,
-            jnp.stack([y0J, x0J, cxJ - x0J], axis=1),
-            jnp.stack([y0I, x0I, cxI - x0I], axis=1),
+            copJ, copI,
+            jnp.stack([yJ, xJ], axis=1), jnp.stack([yI, xI], axis=1),
             jnp.stack([aJy, aJx], axis=1), jnp.stack([a0y, a0x], axis=1),
-            loY, status, win, iters, eps, hiX, interpret=interpret)
+            jnp.stack([loY, loX], axis=1),
+            status, win, iters, eps, hiX, interpret=interpret)
         status = status & (eig >= min_eig_threshold)
-        q = jnp.stack([(cxI + r).astype(dt) + a_fin[:, 1],
-                       (y0I + r).astype(dt) + a_fin[:, 0] - off], axis=1)
+        # strip coords -> tile coords: corner + (anchor - residual) + r
+        q = jnp.stack([(cxI - rxI + r).astype(dt) + a_fin[:, 1],
+                       (cyI - ryI + r).astype(dt) + a_fin[:, 0] - off],
+                      axis=1)
         g_new = q - p_l
         g = g_new * 2.0 if lvl > 0 else g_new
         if lvl == 0:

@@ -42,7 +42,8 @@ def shard_agents(states, imgs, mesh: Mesh, axis: str = "data"):
 
 
 def make_fleet_runner(cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
-                      mesh: Mesh, axis: str = "data"):
+                      mesh: Mesh, axis: str = "data",
+                      collect: bool = False):
     """Jitted fleet runner: (states [A-stacked], imgs [A, T+1, H, W]) ->
     (final states, per-frame (accepted [T, A], rvec [T, A, 3],
     tvec [T, A, 3])), with the agent axis sharded over ``mesh[axis]``.
@@ -51,8 +52,13 @@ def make_fleet_runner(cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
     the per-device executable is identical to the single-chip
     ``make_multi_agent_runner`` program, so per-chip throughput carries
     over and aggregate fleet throughput is devices x that.
+
+    ``collect=True`` adds the per-frame track-level outputs (see
+    make_multi_agent_runner) so per-agent BA dumps can be rebuilt on
+    host (multiagent.fleet_dump) and merged into the joint graph — the
+    fleet -> merge -> sharded-BA pipeline (BASELINE config #5 shape).
     """
-    run_local = trk.make_multi_agent_runner(cal, config)
+    run_local = trk.make_multi_agent_runner(cal, config, collect=collect)
 
     def fleet(states, imgs):
         in_specs = (
@@ -61,10 +67,14 @@ def make_fleet_runner(cal: cam_mod.Cal3DS2, config: trk.TrackerConfig,
             P(axis, None, None, None),
         )
         # scan outputs are [T, A_local, ...]: agent axis is axis 1
+        st_specs = jax.tree_util.tree_map(
+            lambda a: _agent_spec(a.ndim, axis), states)
+        out_shapes = jax.eval_shape(run_local, states, imgs)[1]
         out_specs = (
+            st_specs,
             jax.tree_util.tree_map(
-                lambda a: _agent_spec(a.ndim, axis), states),
-            (P(None, axis), P(None, axis, None), P(None, axis, None)),
+                lambda s: P(None, axis, *((None,) * (s.ndim - 2))),
+                out_shapes),
         )
         return jax.shard_map(run_local, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)(

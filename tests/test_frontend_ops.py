@@ -294,3 +294,26 @@ class TestLKPallas:
             sel = ok & (np.asarray(agents) == a)
             flow = np.asarray(a_p)[sel] - np.concatenate([pts, pts])[sel]
             np.testing.assert_allclose(flow.mean(0), [dx, dy], atol=0.2)
+
+    def test_fused_bf16_store(self, rng):
+        """bf16 strip copies (the production store on TPU: half the DMA
+        traffic, exact for 8-bit imagery at level 0) stay within a small
+        fraction of a pixel of the exact-f32 fused path."""
+        import cv2 as _cv2
+        base = checkerboard_texture(rng)
+        M = _cv2.getRotationMatrix2D((160, 120), 1.5, 1.01)
+        M[:, 2] += [2.0, -1.5]
+        moved = _cv2.warpAffine(base, M, (base.shape[1], base.shape[0]))
+        pts = np.stack(np.meshgrid(np.arange(80, 240, 60),
+                                   np.arange(80, 160, 60)), -1
+                       ).reshape(-1, 2).astype(np.float32)
+        a1, s1, _ = lk.lk_track(jnp.asarray(base), jnp.asarray(moved),
+                                jnp.asarray(pts), impl="fused",
+                                interpret=True)
+        a2, s2, _ = lk.lk_track(jnp.asarray(base), jnp.asarray(moved),
+                                jnp.asarray(pts), impl="fused",
+                                interpret=True, store_dtype="bfloat16")
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        ok = np.asarray(s1)
+        np.testing.assert_allclose(np.asarray(a2)[ok], np.asarray(a1)[ok],
+                                   atol=0.05)
