@@ -31,10 +31,14 @@ def make_texture(rng, size=1024, blur_passes=2):
 
 def _bilinear_wrap(tex, x, y):
     h, w = tex.shape
-    x = np.mod(x, w)
-    y = np.mod(y, h)
-    x0 = np.floor(x).astype(int)
-    y0 = np.floor(y).astype(int)
+    # float mod can return exactly w (huge inputs from rays grazing the
+    # plane, tiny negatives) — re-fold and clamp before indexing
+    x = np.mod(np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0), w)
+    y = np.mod(np.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0), h)
+    x = np.where(x >= w, x - w, x)
+    y = np.where(y >= h, y - h, y)
+    x0 = np.minimum(np.floor(x).astype(int), w - 1)
+    y0 = np.minimum(np.floor(y).astype(int), h - 1)
     x1 = (x0 + 1) % w
     y1 = (y0 + 1) % h
     fx = x - x0
