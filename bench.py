@@ -272,6 +272,54 @@ def bench_ba_iters(max_iters=15, repeats=2):
     return dev_ips, host_ips, inc_sps, src
 
 
+_HBM_GBPS = 819.0  # v5e HBM bandwidth (speed-of-light reference)
+
+
+def lk_efficiency(lk_ms, size=(640, 480), levels=3):
+    """Computed bytes-moved + HBM-roofline ratio for the LK call
+    (VERDICT r4 #7: machine-readable efficiency, derived from kernel
+    geometry — not hand-written).  The tiled kernel (ops/lk_tile_pallas)
+    moves each level's J+I tile pair exactly once per call."""
+    from mqslam_tpu.ops import lk as lk_mod
+    from mqslam_tpu.ops.lk_tile_pallas import SEARCH_ROWS_T
+
+    pad = lk_mod.lk_pad()
+    total = 0
+    for lvl in range(levels):
+        H = (size[1] >> lvl) + 2 * pad
+        W = (size[0] >> lvl) + 2 * pad
+        Ht = max(-(-H // 8) * 8, SEARCH_ROWS_T)
+        Wp = -(-W // 128) * 128 + 128
+        total += 2 * Ht * Wp * 4          # J + I tiles, read once
+    ms = lk_ms.get("fused")
+    if not isinstance(ms, (int, float)):
+        return {}
+    sol_ms = total / (_HBM_GBPS * 1e9) * 1e3
+    return {"lk_bytes_moved_mb": round(total / 1e6, 2),
+            "lk_hbm_sol_ms": round(sol_ms, 4),
+            "lk_x_over_hbm_sol": round(ms / sol_ms, 1)}
+
+
+def cg_efficiency(corridor, F, P, Kf, Kp):
+    """Bytes per packed CG iteration from the dual-layout geometry
+    (ba/packed.py + ba/solver._packed_ops): the Hcc leg is the per-pose
+    Gram G_f (pack_jacobians), the W legs read Jp_f/Jt_f/Jp_p/Jt_p once
+    each plus the state gathers and the damped Hpp solves."""
+    b = 4  # f32 tables
+    by = (F * 36 * b                                # Gram G_f
+          + F * Kf * 12 * b + F * Kf * 6 * b        # Jp_f + Jt_f (w leg)
+          + P * Kp * 12 * b + P * Kp * 6 * b        # Jp_p + Jt_p (wt leg)
+          + P * Kp * 6 * 4 + F * Kf * 3 * 4         # vp / uf gather outputs
+          + 2 * P * 9 * 4 + 2 * P * 3 * 4)          # Hpp blocks + vecs
+    ms = corridor.get("packed_cg_iter_ms")
+    if not isinstance(ms, (int, float)):
+        return {}
+    sol_ms = by / (_HBM_GBPS * 1e9) * 1e3
+    return {"cg_bytes_moved_mb": round(by / 1e6, 2),
+            "cg_hbm_sol_ms": round(sol_ms, 4),
+            "cg_x_over_hbm_sol": round(ms / sol_ms, 1)}
+
+
 def bench_corridor_cg(F=2048, ppf=24, repeats=3):
     """Per-CG-iteration throughput of the packed large-scale BA path at
     production scale (corridor F=2048, O~370k — the scale GTSAM's
@@ -296,7 +344,8 @@ def bench_corridor_cg(F=2048, ppf=24, repeats=3):
     pJ = bs._pack_jacobians_jit(lin, layout)
     jax.block_until_ready(pJ[0])
 
-    out = {"F": F, "O": O}
+    out = {"F": F, "O": O, "P": prob.n_points,
+           "Kf": layout.Kf, "Kp": layout.Kp}
     for name, lay, pj in (("packed", layout, pJ), ("coo", None, None)):
         ts = {}
         for budget in (25, 100):
@@ -382,6 +431,86 @@ def bench_triangulation(n_scan=20, repeats=3, N=65536):
         pass
     out["batch"] = N
     return out
+
+
+def bench_loopclosure(repeats=3, n_scan=20):
+    """North-star loop-closure components at workload scale (VERDICT r4
+    #5): ORB keyframe-DB scoring throughput (queries/s against a FULL
+    256-keyframe DB, frontend/loopclosure.py) and pose-graph LM
+    iterations/s on a 512-pose circuit with closure edges
+    (ba/posegraph.py)."""
+    import jax
+    import jax.numpy as jnp
+    from mqslam_tpu.frontend import loopclosure as lc
+    from mqslam_tpu.ba import posegraph as pg
+
+    rng = np.random.RandomState(5)
+    cap, K = 256, 384
+    db = lc.KeyframeDB(
+        desc=jnp.asarray(rng.randint(0, 256, (cap, K, 32), np.uint8)),
+        desc_valid=jnp.ones((cap, K), bool),
+        uv=jnp.asarray(rng.rand(cap, K, 2).astype(np.float32) * 400),
+        xyz=jnp.asarray(rng.randn(cap, K, 3).astype(np.float32)),
+        xyz_valid=jnp.ones((cap, K), bool),
+        pose=jnp.zeros((cap, 6), jnp.float32),
+        used=jnp.ones(cap, bool), count=jnp.int32(cap))
+    q_desc = jnp.asarray(rng.randint(0, 256, (K, 32), np.uint8))
+    q_valid = jnp.ones(K, bool)
+
+    @jax.jit
+    def score_scan(qd):
+        def body(c, _):
+            # feed the scores back into the query (prevents DCE)
+            s, i1, good = lc.loop_scores(db, c, q_valid,
+                                         cur_index=jnp.int32(cap))
+            return jnp.bitwise_xor(c, (s.sum() % 2).astype(jnp.uint8)), None
+        c, _ = jax.lax.scan(body, qd, None, length=n_scan)
+        return c
+
+    jax.block_until_ready(score_scan(q_desc))
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(score_scan(q_desc))
+        best = min(best, time.perf_counter() - t0)
+    scores_qps = n_scan / best
+
+    # pose-graph: 512-pose circuit, odometry chain + 16 closure edges
+    N = 512
+    ang = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    centers = np.stack([np.cos(ang), np.sin(ang), 0 * ang], 1) * 4.0
+    poses = np.concatenate([np.zeros((N, 3)), centers], 1)
+    noisy = poses + rng.randn(N, 6) * 0.02
+    ei = np.concatenate([np.arange(N - 1),
+                         np.arange(0, N, N // 16)])
+    ej = np.concatenate([np.arange(1, N),
+                         (np.arange(0, N, N // 16) + N // 2) % N])
+    mr = np.zeros((len(ei), 3))
+    mt = centers[ej] - centers[ei]
+    g = pg.PoseGraph(
+        poses=jnp.asarray(noisy, jnp.float32),
+        pose_valid=jnp.ones(N, bool),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        edge_meas_r=jnp.asarray(mr, jnp.float32),
+        edge_meas_t=jnp.asarray(mt, jnp.float32),
+        edge_inv_sigma=jnp.full((len(ei), 6), 20.0, jnp.float32),
+        edge_valid=jnp.ones(len(ei), bool),
+        prior_mask=jnp.arange(N) == 0,
+        prior_r=jnp.asarray(noisy[:, :3] * 0, jnp.float32),
+        prior_t=jnp.asarray(centers * 0 + centers, jnp.float32),
+        prior_inv_sigma=jnp.full((N, 6), 100.0, jnp.float32))
+    iters = 20
+    jax.block_until_ready(pg.pgo_solve(g, iters=iters)[0])
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pg.pgo_solve(g, iters=iters)[0])
+        best = min(best, time.perf_counter() - t0)
+    return {"orb_db_scores_per_s": round(scores_qps, 1),
+            "db_keyframes": cap,
+            "pgo_iters_per_s": round(iters / best, 1),
+            "pgo_poses": N, "pgo_edges": int(len(ei))}
 
 
 def bench_opencv_baseline(imgs, P_list, f, size, plane_z, passes=2):
@@ -488,6 +617,15 @@ def main():
     corridor = bench_corridor_cg()
     _log(f"corridor-scale CG: {corridor}")
 
+    eff = {}
+    eff.update(lk_efficiency(lk_ms))
+    eff.update(cg_efficiency(corridor, corridor["F"], corridor["P"],
+                             corridor["Kf"], corridor["Kp"]))
+    _log(f"efficiency vs HBM roofline: {eff}")
+
+    loopc = bench_loopclosure()
+    _log(f"loop closure: {loopc}")
+
     ba_ips, ba_host_ips, ba_inc_sps, ba_src = bench_ba_iters()
     _log(f"BA: {ba_ips} LM iterations/s device-loop "
          f"({ba_host_ips} host-loop), incremental {ba_inc_sps} steps/s "
@@ -520,6 +658,8 @@ def main():
             "lk_per_call_ms": lk_ms,
             "triangulation_mpts_per_s": tri_mps,
             "corridor_cg": corridor,
+            "loop_closure": loopc,
+            "efficiency": eff,
             "cv2_ladder_fps_host": round(base, 3),
         },
     }))

@@ -11,14 +11,34 @@ scenario, 25-iteration CG budget):
 
   F=512,  O=92k:   COO 2.86 ms/CG-iter -> packed 0.49 ms  (5.8x)
   F=2048, O=370k:  COO 15.0 ms/CG-iter -> packed 2.43 ms  (6.2x)
+  F=2048, round 5 (per-pose Gram collapse, solver.pack_jacobians): 1.96
 
-(The first packed generation permuted flat [O, 2] tensors between the
-layouts per matvec — that gather alone was ~3.3 ms at F=2048; the dual
-Jacobian packing replaced it with [P, Kp, 6]-row gathers of the
-replicated state, 1.14 ms.)  One-time per linearization: pack 31 ms
-(both Jacobians in both layouts), preconditioner 5 ms — a few CG
-iterations' worth against the 150-1000-iteration budgets real solves
-use.
+Round-5 measured byte/time accounting of the 1.96 ms iteration at
+F=2048/O=370k (prof_ba7.py slope; v5e HBM ~819 GB/s):
+
+  hcc leg   G_f @ v_f            ~0.05 ms   0.3 MB   (was 2 reads of the
+                                            18.6 MB Jp_f table, ~0.5 ms,
+                                            before the Gram collapse)
+  wt  leg   v[fid_p] gather      ~1.0  ms   [P, Kp]=393k rows x 24 B
+            + Jp_p/Jt_p einsums  ~0.05 ms   28 MB
+  w   leg   u[pid_f] gather      ~1.0  ms   [F, Kf]=387k rows x 12 B
+            + Jt_f/Jp_f einsums  ~0.05 ms   28 MB
+  Hpp solve + CG vector ops      ~0.02 ms
+
+The two state-vector row-gathers ARE the iteration: the TPU gather
+engine moves ~0.4M rows/ms regardless of row width (6- vs 8-float rows
+measured identical), so the cost is row COUNT.  Three formulations were
+built and measured SLOWER before accepting this floor (prof_ba7/ba8):
+windowed one-hot MXU matmuls with precomputed selection constants
+(1.37 vs 1.02 ms per leg — batching overhead + 200 MB of constants);
+run-chunked sliding-pack rows gathered as 3D [G, d] slices (3.1 ms —
+XLA's multi-dim-slice gather path); the same chunks gathered as flat 2D
+rows (0.12 ms isolated (!) but composed legs lost: the run-aligned slot
+re-packing it requires inflates Kf 189->272 / Kp 8->16, and the einsum
+legs pay more than the gather saves, 4.7 ms end-to-end).  One-time per
+linearization: pack ~31 ms (both Jacobians in both layouts + the Gram),
+preconditioner ~5 ms — a few CG iterations' worth against the
+150-1000-iteration budgets real solves use.
 
 This module converts the COO observation lists into two dense padded
 layouts, built once per problem (host NumPy, static shapes):

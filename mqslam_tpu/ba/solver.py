@@ -300,11 +300,21 @@ def pack_jacobians(lin: Linearization, layout):
     re-packing per solve attempt would give most of the win back).
     BOTH Jacobians land in BOTH layouts so every cross product contracts
     in place and only the [F, 6]/[P, 3] state vectors are ever
-    gathered."""
-    return (_pad0(lin.J_obs_pose)[layout.fslot],    # [F, Kf, 2, 6]
+    gathered.
+
+    The 5th entry is the per-pose observation Gram G_f = sum_k Jp^T Jp
+    [F, 6, 6]: the CG iteration's Hcc-obs leg is EXACTLY G_f @ v_f, so
+    precomputing it replaces two full reads of the 18.6 MB (corridor
+    scale) Jp_f table per iteration with a 0.3 MB one — measured
+    2.23 -> 1.55 ms/CG-iter at F=2048/O=370k."""
+    Jp_f = _pad0(lin.J_obs_pose)[layout.fslot]      # [F, Kf, 2, 6]
+    G = jnp.sum(Jp_f[:, :, :, :, None] * Jp_f[:, :, :, None, :],
+                axis=(1, 2))                        # [F, 6, 6]
+    return (Jp_f,
             _pad0(lin.J_obs_point)[layout.fslot],   # [F, Kf, 2, 3]
             _pad0(lin.J_obs_point)[layout.pslot],   # [P, Kp, 2, 3]
-            _pad0(lin.J_obs_pose)[layout.pslot])    # [P, Kp, 2, 6]
+            _pad0(lin.J_obs_pose)[layout.pslot],    # [P, Kp, 2, 6]
+            G)
 
 
 # module-level jit: one compilation cache shared by every lm_solve call
@@ -325,14 +335,11 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
     contribute nothing.
     """
     pad0 = _pad0
-    Jp_f, Jt_f, Jt_p, Jp_p = (pack_jacobians(lin, layout)
-                              if packedJ is None else packedJ)
+    Jp_f, Jt_f, Jt_p, Jp_p, G = (pack_jacobians(lin, layout)
+                                 if packedJ is None else packedJ)
 
-    def z_pose_major(v):                         # [F, 6] -> [F, Kf, 2]
-        return jnp.sum(Jp_f * v[:, None, None, :], axis=-1)
-
-    def hcc_obs(z):                              # [F, Kf, 2] -> [F, 6]
-        return jnp.sum(Jp_f * z[..., None], axis=(1, 2))
+    def hcc_obs_v(v):                            # [F, 6] -> [F, 6]
+        return jnp.sum(G * v[:, None, :], axis=-1)
 
     def wt_from_v(v):                            # [F, 6] -> [P, 3]
         vp = pad0(v)[layout.fid_p]                       # [P, Kp, 6]
@@ -352,11 +359,9 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
                      axis=3)                                 # [F, Kf, 6, 3]
         AHA = jnp.sum(AH[:, :, :, None, :] * A[:, :, None, :, :],
                       axis=-1)                               # [F, Kf, 6, 6]
-        JJ = jnp.sum(Jp_f[:, :, :, :, None] * Jp_f[:, :, :, None, :],
-                     axis=2)                                 # [F, Kf, 6, 6]
-        return jnp.sum(JJ - AHA, axis=1)
+        return G - jnp.sum(AHA, axis=1)          # JJ term == the Gram
 
-    return z_pose_major, hcc_obs, wt_from_v, w_apply, precond_obs_blocks
+    return hcc_obs_v, wt_from_v, w_apply, precond_obs_blocks
 
 
 def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
@@ -374,12 +379,8 @@ def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
     pad0 = _pad0
     F = problem.n_poses
     P = problem.n_points
-    Jp_f, Jt_f, Jt_p, Jp_p = (pack_jacobians(lin, layout)
-                              if packedJ is None else packedJ)
-
-    def z_pose_major(v):                         # [F, 6] -> [Fd, Kf, 2]
-        vloc = pad0(v)[layout.rows_f]            # [Fd, 6]
-        return jnp.sum(Jp_f * vloc[:, None, None, :], axis=-1)
+    Jp_f, Jt_f, Jt_p, Jp_p, G = (pack_jacobians(lin, layout)
+                                 if packedJ is None else packedJ)
 
     def scat_f(part):                            # [Fd, x] -> [F, x] partial
         return jnp.zeros((F + 1,) + part.shape[1:], part.dtype).at[
@@ -389,8 +390,9 @@ def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
         return jnp.zeros((P + 1,) + part.shape[1:], part.dtype).at[
             layout.rows_p].add(part)[:P]
 
-    def hcc_obs(z):                              # [Fd, Kf, 2] -> [F, 6]
-        return scat_f(jnp.sum(Jp_f * z[..., None], axis=(1, 2)))
+    def hcc_obs_v(v):                            # [F, 6] -> [F, 6] partial
+        vloc = pad0(v)[layout.rows_f]            # [Fd, 6] (local Gram)
+        return scat_f(jnp.sum(G * vloc[:, None, :], axis=-1))
 
     def wt_from_v(v):                            # [F, 6] -> [P, 3]
         vp = pad0(v)[layout.fid_p]               # [Pd, Kp, 6] (global ids)
@@ -408,11 +410,9 @@ def _packed_ops_rows(problem: BAProblem, lin: Linearization, layout,
                     axis=2)                                  # [Fd,Kf,6,3]
         AH = jnp.sum(A[:, :, :, :, None] * Hj[:, :, None, :, :], axis=3)
         AHA = jnp.sum(AH[:, :, :, None, :] * A[:, :, None, :, :], axis=-1)
-        JJ = jnp.sum(Jp_f[:, :, :, :, None] * Jp_f[:, :, :, None, :],
-                     axis=2)
-        return scat_f(jnp.sum(JJ - AHA, axis=1))
+        return scat_f(G - jnp.sum(AHA, axis=1))  # JJ term == local Gram
 
-    return z_pose_major, hcc_obs, wt_from_v, w_apply, precond_obs_blocks
+    return hcc_obs_v, wt_from_v, w_apply, precond_obs_blocks
 
 
 def _w_t_apply(problem: BAProblem, lin: Linearization, v, axis_name=None):
@@ -474,12 +474,12 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
 
     if layout is not None:
         _ops = _packed_ops_rows if has_rows else _packed_ops
-        _z_f, _hcc_obs, _wt_v, _w_ap, _pre_obs = _ops(
+        _hcc_obs, _wt_v, _w_ap, _pre_obs = _ops(
             problem, lin, layout, packedJ)
 
         def B_apply(vv):
             vv = vv * pose_mask
-            hv = (psum_(_hcc_obs(_z_f(vv))) + _hcc_rest(problem, lin, vv)
+            hv = (psum_(_hcc_obs(vv)) + _hcc_rest(problem, lin, vv)
                   + (lam * jnp.maximum(lin.diag_pose, 1e-12)) * vv)
             corr = psum_(_w_ap(hpp_solve(psum_(_wt_v(vv)))))
             return (hv - corr) * pose_mask

@@ -514,7 +514,7 @@ def make_multi_agent_runner(cal: cam_mod.Cal3DS2, config: TrackerConfig,
             new_uv, st_of, err_of = lk.lk_track_pyr(
                 prev_atlas, new_atlas, uv_flat, act_flat,
                 win=config.lk_win, prepad=True, atlas_agents=agent_ids,
-                atlas_tiles=A)
+                atlas_tiles=A, atlas_contiguous=True)
             # per-agent padded level-0 tiles for the keyframe color sampling
             Hp0 = new_atlas[0].shape[0] // A
             tiles0 = new_atlas[0].reshape(A, Hp0, new_atlas[0].shape[1])

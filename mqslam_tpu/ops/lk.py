@@ -199,7 +199,8 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
                  impl: str = "auto", interpret: bool = False,
                  prepad: bool = False, atlas_agents=None,
                  atlas_tiles: int = 1, dma_extract=None,
-                 precision: str = "default", store_dtype=None):
+                 precision: str = "default", store_dtype=None,
+                 atlas_contiguous: bool = False):
     """lk_track over prebuilt pyramids (tuples of [H,W] images, level 0 =
     full resolution). Lets sequential trackers reuse the previous frame's
     pyramid: one ``build_pyramid`` per frame instead of two.
@@ -270,21 +271,49 @@ def lk_track_pyr(prev_pyr, next_pyr, pts, pts_valid=None, win: int = 21,
     # exactly; only the bottom tile of an atlas gains rows, so per-tile row
     # offsets are unaffected.
     if impl == "auto":
-        # fused DMA+Newton kernel wherever it pays (measured 1.4x faster
-        # than the banded-matmul XLA path at T=384, 2x at T=3072; roughly
-        # tied at T=128 where the XLA batch is still latency-bound — see
-        # ops/lk_fused_pallas).  Strip DMAs need >= 48 rows per
-        # (tile-padded) level.  Callers that pin precision (golden/parity
-        # comparisons, lk.py precision note above) or explicitly disable
-        # the DMA extractor must get the XLA path — the fused kernel runs
-        # its matmuls at the MXU default regardless of ``precision``.
-        impl = ("fused" if (jax.default_backend() == "tpu"
-                            and not interpret and dt == jnp.float32
-                            and precision == "default"
-                            and dma_extract is not False
-                            and T >= 192
-                            and min(j.shape[0] for j in Js) > 40)
-                else "xla")
+        # Pallas kernels wherever they pay (fused measured 1.4x faster
+        # than the banded-matmul XLA path at T=384, 2x at T=3072; tiled
+        # another ~1.5x over fused at atlas scale; roughly tied at T=128
+        # where the XLA batch is still latency-bound).  Callers that pin
+        # precision (golden/parity comparisons) or explicitly disable the
+        # DMA extractor must get the XLA path.  The tiled kernel needs
+        # f32 VMEM-resident per-agent tile pairs (ops/lk_tile_pallas) and
+        # agent-contiguous tracks; the strip-DMA fused kernel is the
+        # fallback for big images / scattered agent ids.
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not interpret and dt == jnp.float32
+                      and precision == "default"
+                      and dma_extract is not False
+                      and T >= 192
+                      and min(j.shape[0] for j in Js) > 40)
+        impl = "xla"
+        if use_pallas:
+            from mqslam_tpu.ops import lk_tile_pallas as _tp
+            A_t = atlas_tiles if atlas_contiguous else (
+                1 if atlas_agents is None else 0)
+            if (A_t > 0 and T % A_t == 0
+                    and _tp.tile_vmem_bytes(Js[0].shape[0] // A_t * A_t,
+                                            Js[0].shape[1], A_t) <= 9 << 20):
+                impl = "tiled"
+            else:
+                impl = "fused"
+
+    if impl == "tiled":
+        from mqslam_tpu.ops import lk_tile_pallas as _tp
+        A_t = atlas_tiles if atlas_agents is not None else 1
+        p_ls = []
+        inside_all = jnp.ones(T, bool)
+        for lvl in range(levels):
+            H, W = shapes[lvl]
+            p_l = pts / (2.0 ** lvl) + pad
+            inside_all = inside_all & jnp.all(
+                (p_l >= pad) & (p_l <= jnp.array([W - 1 + pad, H - 1 + pad],
+                                                 dtype=dt)), axis=-1)
+            p_ls.append(p_l)
+        return _lk_tiled_levels(
+            Js, Is, p_ls, pts, pts_valid & inside_all, shapes, win, iters,
+            eps, min_eig_threshold, margin,
+            interpret or jax.default_backend() != "tpu", A_t)
 
     if impl == "fused":
         # fully fused DMA-extraction + Newton kernel: needs only the track
@@ -535,6 +564,70 @@ def _lk_fused_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
         q = jnp.stack([(cxI - rxI + r).astype(dt) + a_fin[:, 1],
                        (cyI - ryI + r).astype(dt) + a_fin[:, 0] - off],
                       axis=1)
+        g_new = q - p_l
+        g = g_new * 2.0 if lvl > 0 else g_new
+        if lvl == 0:
+            err = err_l
+
+    new_pts = pts + g
+    H0, W0 = shapes[0]
+    inside_final = jnp.all(
+        (new_pts >= 0) & (new_pts <= jnp.array([W0 - 1, H0 - 1],
+                                               dtype=pts.dtype)), axis=-1)
+    status = status & inside_final
+    return new_pts, status, jnp.where(status, err, jnp.inf)
+
+
+def _lk_tiled_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
+                     min_eig_threshold, margin, interpret, A):
+    """Per-level driver for the VMEM-resident tiled kernel
+    (ops/lk_tile_pallas.py).  Tracks must be agent-contiguous (track t
+    belongs to tile t // (T/A)); all coordinates stay LOCAL to the
+    agent's tile — with no DMA alignment constraints there are no
+    residual terms, so anchors are simply position - corner and clips
+    run [0, hiX] on both axes."""
+    from mqslam_tpu.ops import lk_tile_pallas as _tp
+
+    levels = len(Is)
+    r = win // 2
+    P = win + 2 * margin + 1
+    hiX = float(P - 2 - win)
+    dt = pts.dtype
+    f32 = jnp.float32
+    g = jnp.zeros_like(pts)
+    err = None
+    for lvl in range(levels - 1, -1, -1):
+        tileJ, Ht = _tp.tile_layout(Js[lvl], A)
+        tileI, _ = _tp.tile_layout(Is[lvl], A)
+        Wcl = tileJ.shape[0] * 128 - 128  # data width (guard tile excl.)
+        p_l = p_ls[lvl]
+        pya = p_l[:, 1]
+        pxa = p_l[:, 0]
+        cyJ = jnp.clip(jnp.floor(pya).astype(jnp.int32) - r - 1, 0,
+                       Ht - _tp.TMPL_ROWS_T)
+        cxJ = jnp.clip(jnp.floor(pxa).astype(jnp.int32) - r - 1, 0,
+                       Wcl - (win + 3))
+        aJy = jnp.clip(pya.astype(f32) - r - cyJ, 1.0,
+                       _tp.TMPL_ROWS_T - win - 2.0)
+        aJx = jnp.clip(pxa.astype(f32) - r - cxJ, 1.0, 100.0)
+        q0 = p_l + g
+        q0ya = q0[:, 1]
+        q0xa = q0[:, 0]
+        cyI = jnp.clip(jnp.floor(q0ya).astype(jnp.int32) - r - margin, 0,
+                       Ht - _tp.SEARCH_ROWS_T)
+        cxI = jnp.clip(jnp.floor(q0xa).astype(jnp.int32) - r - margin, 0,
+                       Wcl - P)
+        a0y = jnp.clip(q0ya.astype(f32) - r - cyI, 0.0, hiX)
+        a0x = jnp.clip(q0xa.astype(f32) - r - cxI, 0.0, hiX)
+        a_fin, eig, err_l = _tp.lk_level_tiled(
+            tileJ, tileI,
+            jnp.stack([cxJ // 128, cyJ, cxJ % 128], axis=1),
+            jnp.stack([cxI // 128, cyI, cxI % 128], axis=1),
+            jnp.stack([aJy, aJx], axis=1), jnp.stack([a0y, a0x], axis=1),
+            status, A, win, iters, eps, hiX, interpret=interpret)
+        status = status & (eig >= min_eig_threshold)
+        q = jnp.stack([(cxI + r).astype(dt) + a_fin[:, 1],
+                       (cyI + r).astype(dt) + a_fin[:, 0]], axis=1)
         g_new = q - p_l
         g = g_new * 2.0 if lvl > 0 else g_new
         if lvl == 0:

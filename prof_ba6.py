@@ -53,27 +53,30 @@ def main():
 
     pJ = bs._pack_jacobians_jit(lin, layout)
     jax.block_until_ready(pJ[0])
-    pJ_bf = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), pJ)
+    pJ_bf = tuple(a.astype(jnp.bfloat16) for a in pJ[:4]) + (pJ[4],)
     jax.block_until_ready(pJ_bf[0])
     rng = np.random.RandomState(0)
     v0 = jnp.asarray(rng.randn(F, 6).astype(np.float32))
     u0 = jnp.asarray(rng.randn(P, 3).astype(np.float32))
     pad0 = bs._pad0
 
-    for tag, (Jp_f, Jt_f, Jt_p, Jp_p) in (("f32 ", pJ), ("bf16", pJ_bf)):
-        def hcc(v, Jp_f=Jp_f):
-            z = jnp.sum(Jp_f * v[:, None, None, :], axis=-1)
-            return jnp.sum(jnp.sum(Jp_f * z[..., None], axis=(1, 2)))
+    for tag, (Jp_f, Jt_f, Jt_p, Jp_p, G) in (("f32 ", pJ), ("bf16", pJ_bf)):
+        def hcc(v, G=G):
+            return jnp.sum(jnp.sum(G * v[:, None, :], axis=-1))
 
         def wt(v, Jp_p=Jp_p, Jt_p=Jt_p):
             vp = pad0(v)[layout.fid_p]
-            z_pm = jnp.sum(Jp_p * vp[:, :, None, :], axis=-1)
-            return jnp.sum(jnp.sum(Jt_p * z_pm[..., None], axis=(1, 2)))
+            z_pm = jnp.sum(Jp_p.astype(jnp.float32)
+                           * vp[:, :, None, :], axis=-1)
+            return jnp.sum(jnp.sum(Jt_p.astype(jnp.float32)
+                                   * z_pm[..., None], axis=(1, 2)))
 
         def w_ap(v, Jt_f=Jt_f, Jp_f=Jp_f):
             uf = pad0(v[:, :3] * 1.0)[layout.pid_f]
-            w_f = jnp.sum(Jt_f * uf[:, :, None, :], axis=-1)
-            return jnp.sum(jnp.sum(Jp_f * w_f[..., None], axis=(1, 2)))
+            w_f = jnp.sum(Jt_f.astype(jnp.float32)
+                          * uf[:, :, None, :], axis=-1)
+            return jnp.sum(jnp.sum(Jp_f.astype(jnp.float32)
+                                   * w_f[..., None], axis=(1, 2)))
 
         for name, fn, x in (("hcc_obs (2x Jp_f)", hcc, v0),
                             ("wt_from_v       ", wt, v0),
@@ -120,10 +123,10 @@ def main():
 
     # full B_apply, f32 vs bf16 tables
     lam = jnp.float32(1e-3)
-    for tag, pj in (("f32 ", pJ), ("bf16", pJ_bf)):
+    for tag, pj in (("f32 ", pJ),):
         def bapply(v, pj=pj):
-            _z, _hcc, _wt, _w, _pre = bs._packed_ops(prob, lin, layout, pj)
-            hv = (_hcc(_z(v)) + bs._hcc_rest(prob, lin, v)
+            _hcc, _wt, _w, _pre = bs._packed_ops(prob, lin, layout, pj)
+            hv = (_hcc(v) + bs._hcc_rest(prob, lin, v)
                   + (lam * jnp.maximum(lin.diag_pose, 1e-12)) * v)
             dp = jnp.diagonal(lin.Hpp, axis1=-2, axis2=-1)
             Hpp_d = lin.Hpp + (lam * jnp.maximum(dp, 1e-12))[..., None] \

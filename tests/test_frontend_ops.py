@@ -228,7 +228,7 @@ class TestHomography:
 
 
 class TestLKPallas:
-    @pytest.mark.parametrize("impl", ["pallas", "fused"])
+    @pytest.mark.parametrize("impl", ["pallas", "fused", "tiled"])
     def test_matches_xla_implementation(self, rng, impl):
         """The Pallas Newton-loop kernels (interpret mode on CPU) must
         agree with the banded-matmul XLA formulation."""
@@ -253,7 +253,7 @@ class TestLKPallas:
                                    np.asarray(e1)[both],
                                    atol=1e-3 if impl == "pallas" else 0.5)
 
-    @pytest.mark.parametrize("impl", ["pallas", "fused"])
+    @pytest.mark.parametrize("impl", ["pallas", "fused", "tiled"])
     def test_pallas_atlas_agents(self, rng, impl):
         """Pallas impls apply atlas row offsets (each agent's I-patches come
         from its own tile, not agent 0's)."""
