@@ -189,7 +189,7 @@ def bench_lk_impls(imgs, n_scan=30, repeats=3):
     pyr_a = tuple(lk.build_pyramid(jnp.asarray(imgs[0]), 3, pad=pad))
     pyr_b = tuple(lk.build_pyramid(jnp.asarray(imgs[1]), 3, pad=pad))
     out = {}
-    for impl in ("xla", "pallas", "fused"):
+    for impl in ("xla", "pallas", "fused", "tiled"):
         @partial(jax.jit, static_argnames=("impl",))
         def run(p0, impl):
             def body(p, _):
@@ -291,7 +291,7 @@ def lk_efficiency(lk_ms, size=(640, 480), levels=3):
         Ht = max(-(-H // 8) * 8, SEARCH_ROWS_T)
         Wp = -(-W // 128) * 128 + 128
         total += 2 * Ht * Wp * 4          # J + I tiles, read once
-    ms = lk_ms.get("fused")
+    ms = lk_ms.get("tiled", lk_ms.get("fused"))
     if not isinstance(ms, (int, float)):
         return {}
     sol_ms = total / (_HBM_GBPS * 1e9) * 1e3

@@ -54,6 +54,7 @@ class TrackerConfig:
     ransac_hypotheses: int = 128
     lk_win: int = 21
     lk_levels: int = 3
+    max_new_landmark_reproj: float = 1.0  # px gate on fresh triangulations
 
 
 class TrackerState(NamedTuple):
@@ -138,7 +139,7 @@ def _bootstrap_jit(uv, objp, cal, img, config: TrackerConfig, key):
     uvn = cam_mod.undistort_points(uv, cal)
     R, t = pnp.pnp_solve(objp, uvn)
     rvec0 = so3.log(R)
-    rvec, tvec = pnp.pnp_refine(objp, uv, cal, rvec0, t, iters=10)
+    rvec, tvec = pnp.pnp_refine(objp, uv, cal, rvec0, t, iters=20)
 
     base_uv = jnp.zeros((K, 2), jnp.float32).at[:n0].set(uv)
     active = jnp.zeros(K, bool).at[:n0].set(True)
@@ -236,7 +237,7 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
 
         # ---- 3. refinement on inliers + reprojection gate ----
         rvec_f, tvec_f = pnp.pnp_refine(track_objp, new_uv, cal, rvec_r,
-                                        tvec_r, valid=inlier, iters=10)
+                                        tvec_r, valid=inlier, iters=20)
         rms, _ = pnp.reprojection_error(track_objp, new_uv, cal, rvec_f,
                                         tvec_f, valid=inlier)
         reject_rms = rms > config.max_pnp_reproj_error
@@ -283,12 +284,30 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         use_pts = (t.inlier & t.tri_alive) | ok1
         rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, t.new_uv, cal,
                                           t.rvec_f, t.tvec_f,
-                                          valid=use_pts, iters=10)
+                                          valid=use_pts, iters=20)
         # re-triangulate with refined pose; keep points in front of cams
         P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
         x_new2, st_tri2 = tri.iterative_ls(t.base_n, P_keyfr, t.new_n,
                                            P_cur2)
         ok2 = ok1 & (st_tri2 >= 0)
+
+        # quality gate on the NEW landmarks: both-view reprojection must
+        # close to within max_new_landmark_reproj px.  Short-baseline
+        # keyframe pairs (rapid keyframing through low-texture stretches)
+        # otherwise inject noisy depths that skew every later PnP —
+        # measured on ICL traj3n frames 110-140, where landmark churn
+        # drove the front-end from 0.005 m to ~0.1 m absolute error.
+        def _reproj_ok2(x, P, uvn, thr2):
+            Xc = jnp.sum(P[:3, :3][None] * x[:, None, :], axis=-1) \
+                + P[:3, 3][None]
+            z = Xc[:, 2]
+            uv = Xc[:, :2] / jnp.maximum(z[:, None], 1e-6)
+            return (z > 1e-6) & (jnp.sum((uv - uvn) ** 2, axis=1) < thr2)
+
+        thr_n = config.max_new_landmark_reproj / jnp.abs(cal.fx)
+        ok2 = (ok2 & _reproj_ok2(x_new2, P_keyfr, t.base_n, thr_n ** 2)
+               & _reproj_ok2(x_new2, P_cur2, t.new_n, thr_n ** 2))
+
 
         # landmark store append (capped at M)
         new_rank = jnp.cumsum(ok2.astype(jnp.int32)) - 1
