@@ -6,36 +6,45 @@ those run at gather/scatter-engine speed: at corridor scale (F=2048,
 O=370k) one CG iteration measured ~15 ms against a ~0.2 ms HBM-bandwidth
 bound — 75x off speed-of-light (prof_ba5.py).
 
-Measured on a v5e core (prof_ba5.py scan-slope, 2026-08; corridor
-scenario, 25-iteration CG budget):
+Measured on a v5e core (scan-slope, 2026-08; corridor scenario,
+25-iteration CG budget):
 
   F=512,  O=92k:   COO 2.86 ms/CG-iter -> packed 0.49 ms  (5.8x)
   F=2048, O=370k:  COO 15.0 ms/CG-iter -> packed 2.43 ms  (6.2x)
-  F=2048, round 5 (per-pose Gram collapse, solver.pack_jacobians): 1.96
+  F=2048, round 5: 2.43 -> 1.96 (per-pose Gram collapse,
+          solver.pack_jacobians) -> **1.27 ms** (pack-row W^T gather,
+          ChunkedGather below) = 785 CG iterations/s
 
-Round-5 measured byte/time accounting of the 1.96 ms iteration at
-F=2048/O=370k (prof_ba7.py slope; v5e HBM ~819 GB/s):
+Round-5 measured byte/time accounting of the 1.27 ms iteration at
+F=2048/O=370k (prof_ba7/ba11 slope; v5e HBM ~819 GB/s):
 
-  hcc leg   G_f @ v_f            ~0.05 ms   0.3 MB   (was 2 reads of the
+  hcc leg   G_f @ v_f            ~0.01 ms   0.3 MB   (was 2 reads of the
                                             18.6 MB Jp_f table, ~0.5 ms,
                                             before the Gram collapse)
-  wt  leg   v[fid_p] gather      ~1.0  ms   [P, Kp]=393k rows x 24 B
-            + Jp_p/Jt_p einsums  ~0.05 ms   28 MB
+  wt  leg   pack-row gather      ~0.15 ms   49k flat 192 B rows (was the
+            + Jp_p/Jt_p einsums             plain [P, Kp]=393k-row
+                                            gather, ~1.0 ms)
   w   leg   u[pid_f] gather      ~1.0  ms   [F, Kf]=387k rows x 12 B
             + Jt_f/Jp_f einsums  ~0.05 ms   28 MB
-  Hpp solve + CG vector ops      ~0.02 ms
+  Hpp solve + CG vector ops      ~0.05 ms
 
-The two state-vector row-gathers ARE the iteration: the TPU gather
-engine moves ~0.4M rows/ms regardless of row width (6- vs 8-float rows
-measured identical), so the cost is row COUNT.  Three formulations were
-built and measured SLOWER before accepting this floor (prof_ba7/ba8):
-windowed one-hot MXU matmuls with precomputed selection constants
-(1.37 vs 1.02 ms per leg — batching overhead + 200 MB of constants);
-run-chunked sliding-pack rows gathered as 3D [G, d] slices (3.1 ms —
-XLA's multi-dim-slice gather path); the same chunks gathered as flat 2D
-rows (0.12 ms isolated (!) but composed legs lost: the run-aligned slot
-re-packing it requires inflates Kf 189->272 / Kp 8->16, and the einsum
-legs pay more than the gather saves, 4.7 ms end-to-end).  One-time per
+The state-vector row-gathers dominate: the TPU gather engine moves
+~0.4M rows/ms regardless of row width (6- vs 8-float rows measured
+identical), so the cost is row COUNT.  The point-major fid_p table is
+runs of consecutive pose ids (a landmark is observed by consecutive
+frames), so ChunkedGather fetches each 8-slot run as ONE flat row of
+the sliding pack B[i] = v[i:i+8] — 8x fewer rows.  Hard-won lowering
+facts (prof_ba8-11): the same rows gathered as 3D [G, d] slices hit a
+~25x slower XLA path (gather FLAT 2D rows and reshape after); a
+remainder SCATTER of even 1.1k rows costs ~1.1 ms (broken chunks get
+prebuilt extension rows in the pack table instead — zero scatters);
+re-packing the ragged pose-major pid_f table run-aligned inflates
+Kf 189->272 / Kp 8->16 and the einsum legs pay more than the gather
+saves (measured 4.7 ms end-to-end); and a windowed one-hot MXU-matmul
+selection is also slower than the plain gather (1.37 vs 1.02 ms/leg —
+batching overhead + 200 MB of constants).  The pose-major w leg
+therefore keeps the plain gather (its ~24% broken chunks fail the
+build threshold) and is the documented remaining floor.  One-time per
 linearization: pack ~31 ms (both Jacobians in both layouts + the Gram),
 preconditioner ~5 ms — a few CG iterations' worth against the
 150-1000-iteration budgets real solves use.
@@ -60,13 +69,117 @@ triangulation.c:70,109); this is the same data-parallel idea expressed as
 a TPU-friendly dense layout.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["PackedLayout", "build_packed_layout",
-           "ShardedPackedLayout", "build_sharded_packed_layout"]
+           "ShardedPackedLayout", "build_sharded_packed_layout",
+           "ChunkedGather", "build_chunked_gather", "apply_chunked"]
+
+
+@jax.tree_util.register_pytree_node_class
+class ChunkedGather:
+    """Sliding-pack formulation of a near-run id-table gather.
+
+    The CG hot loop's state gathers are row-COUNT bound (~0.4M rows/ms on
+    a v5e regardless of row width), and BA id tables are mostly runs of
+    consecutive ids.  When a G-slot chunk's ids are ``base, base+1, ...``
+    the whole chunk is ONE row of the sliding pack ``B[i] = v[i:i+G]``
+    gathered as a FLAT 2D row (the [G, d] 3D-slice form lowers to a
+    ~25x slower path, prof_ba8) — measured on the corridor fid_p table
+    (point-major rows are single runs up to obs dropouts, ~1% broken
+    chunks): the composed W^T leg drops 1.06 -> 0.15 ms (prof_ba9/11).
+    Broken (non-run) chunks get prebuilt EXTENSION rows appended to the
+    pack table — built by a tiny per-slot gather, merged by the same
+    single chunk gather, zero scatters (a 1.1k-row remainder scatter
+    measured ~1.1 ms, prof_ba10).  Ragged tables (the corridor pid_f
+    rows have ~24% broken chunks) don't build and keep the plain
+    gather — both re-packing them run-aligned (table inflation) and
+    carrying many extension rows (2.27 ms leg) measured net losses."""
+
+    def __init__(self, chunk_src, chunk_len, ext_ids, n_src, G, rows, K):
+        self.chunk_src = chunk_src  # [R, Kpad/G] int32: run base, or
+                                    #   n_src+1+j for broken chunk j, or
+                                    #   n_src (all-sentinel -> zero row)
+        self.chunk_len = chunk_len  # [R, Kpad/G] int32 valid run length
+        self.ext_ids = ext_ids      # [NB, G] int32 per-slot ids of the
+                                    #   broken chunks (sentinel = n_src)
+        self.n_src = n_src          # source vector length (static)
+        self.G = G                  # chunk width (static)
+        self.rows = rows            # table rows (static)
+        self.K = K                  # table cols (static)
+
+    def tree_flatten(self):
+        return ((self.chunk_src, self.chunk_len, self.ext_ids),
+                (self.n_src, self.G, self.rows, self.K))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_chunked_gather(ids, n_src: int, G: int = 8,
+                         max_broken_frac: float = 0.05):
+    """ChunkedGather for an id table [rows, K] (sentinel >= n_src), or
+    None when too many chunks are broken (non-run) for the extension
+    rows to pay."""
+    ids = np.asarray(ids, dtype=np.int64)
+    rows, K = ids.shape
+    Kpad = -(-K // G) * G
+    t = np.full((rows, Kpad), n_src, np.int64)
+    t[:, :K] = ids
+    ch = t.reshape(-1, G)
+    valid = ch < n_src
+    base = ch[:, 0]
+    expect = base[:, None] + np.arange(G)[None, :]
+    run = np.cumprod((ch == expect) & valid, axis=1).astype(bool)
+    length = run.sum(axis=1)
+    # a chunk is a run iff every valid slot is in the prefix run
+    ok = (base < n_src) & ~(valid & ~run).any(axis=1)
+    broken = valid.any(axis=1) & ~ok
+    nb = int(broken.sum())
+    if nb > max_broken_frac * max(len(ch), 1):
+        return None
+    bidx = np.flatnonzero(broken)
+    chunk_src = np.where(ok, base, n_src)
+    chunk_src[bidx] = n_src + 1 + np.arange(nb)
+    # broken chunks pass the length mask whole: their extension rows
+    # already carry zeros at sentinel slots
+    chunk_len = np.where(ok, length, 0)
+    chunk_len[bidx] = G
+    return ChunkedGather(
+        chunk_src=jnp.asarray(chunk_src.reshape(rows, Kpad // G),
+                              jnp.int32),
+        chunk_len=jnp.asarray(chunk_len.reshape(rows, Kpad // G),
+                              jnp.int32),
+        ext_ids=jnp.asarray(ch[bidx], jnp.int32),
+        n_src=n_src, G=G, rows=rows, K=K)
+
+
+def apply_chunked(cg: ChunkedGather, v):
+    """v [n_src, d] -> gathered [rows, K, d] == v-padded[ids] with zeros
+    at sentinel slots.  Run chunks read one FLAT pack-table row; broken
+    chunks read their prebuilt extension row (a tiny per-slot gather) —
+    zero scatters anywhere (a 1.1k-row remainder scatter measured ~1.1 ms
+    on a v5e, wiping out the gather win; prof_ba10)."""
+    d = v.shape[1]
+    G = cg.G
+    vp = jnp.concatenate([v, jnp.zeros((2 * G, d), v.dtype)])
+    # B[i] = v_pad[i : i + G] flattened to 2D; row n_src is all zeros
+    B = jnp.stack([jax.lax.slice_in_dim(vp, g, g + cg.n_src + 1, 1, 0)
+                   for g in range(G)], axis=1).reshape(-1, G * d)
+    if cg.ext_ids.shape[0]:
+        ext = vp[cg.ext_ids.reshape(-1)].reshape(-1, G * d)
+        B = jnp.concatenate([B, ext])
+    out = B[cg.chunk_src]                          # [R, Kpad/G, G*d]
+    out = out.reshape(cg.chunk_src.shape + (G, d))
+    mask = (jnp.arange(G)[None, None, :]
+            < cg.chunk_len[:, :, None]).astype(v.dtype)
+    out = (out * mask[..., None]).reshape(cg.rows, -1, d)
+    return out[:, :cg.K]
 
 
 class PackedLayout(NamedTuple):
@@ -85,6 +198,8 @@ class PackedLayout(NamedTuple):
                             #         zero block)
     fid_p: jnp.ndarray      # [P, Kp] pose id per point-major slot
                             #         (sentinel = F)
+    wg_fid: Optional[ChunkedGather] = None  # pack-row form of v[fid_p]
+    wg_pid: Optional[ChunkedGather] = None  # pack-row form of u[pid_f]
 
     @property
     def Kf(self):
@@ -139,7 +254,9 @@ def build_packed_layout(obs_pose, obs_point, obs_valid, n_poses: int,
     fid_p = np.where(pslot < O, op[np.minimum(pslot, O - 1)], n_poses)
     i32 = lambda a: jnp.asarray(a, jnp.int32)
     return PackedLayout(fslot=i32(fslot), pslot=i32(pslot),
-                        pid_f=i32(pid_f), fid_p=i32(fid_p))
+                        pid_f=i32(pid_f), fid_p=i32(fid_p),
+                        wg_fid=build_chunked_gather(fid_p, n_poses),
+                        wg_pid=build_chunked_gather(pid_f, n_points))
 
 
 class ShardedPackedLayout(NamedTuple):

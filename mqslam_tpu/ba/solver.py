@@ -334,6 +334,8 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
     iteration at F=2048).  Padding slots index appended zero rows and
     contribute nothing.
     """
+    from mqslam_tpu.ba.packed import apply_chunked
+
     pad0 = _pad0
     Jp_f, Jt_f, Jt_p, Jp_p, G = (pack_jacobians(lin, layout)
                                  if packedJ is None else packedJ)
@@ -341,13 +343,23 @@ def _packed_ops(problem: BAProblem, lin: Linearization, layout,
     def hcc_obs_v(v):                            # [F, 6] -> [F, 6]
         return jnp.sum(G * v[:, None, :], axis=-1)
 
+    def gather_f(v):                             # v[fid_p] -> [P, Kp, 6]
+        if layout.wg_fid is not None:            # pack-row form, ~9x
+            return apply_chunked(layout.wg_fid, v)
+        return pad0(v)[layout.fid_p]
+
+    def gather_p(u):                             # u[pid_f] -> [F, Kf, d]
+        if layout.wg_pid is not None:
+            return apply_chunked(layout.wg_pid, u)
+        return pad0(u)[layout.pid_f]
+
     def wt_from_v(v):                            # [F, 6] -> [P, 3]
-        vp = pad0(v)[layout.fid_p]                       # [P, Kp, 6]
+        vp = gather_f(v)                                 # [P, Kp, 6]
         z_pm = jnp.sum(Jp_p * vp[:, :, None, :], axis=-1)  # [P, Kp, 2]
         return jnp.sum(Jt_p * z_pm[..., None], axis=(1, 2))
 
     def w_apply(u):                              # [P, 3] -> [F, 6]
-        uf = pad0(u)[layout.pid_f]                       # [F, Kf, 3]
+        uf = gather_p(u)                                 # [F, Kf, 3]
         w_f = jnp.sum(Jt_f * uf[:, :, None, :], axis=-1)   # [F, Kf, 2]
         return jnp.sum(Jp_f * w_f[..., None], axis=(1, 2))
 
