@@ -315,9 +315,24 @@ def cg_efficiency(corridor, F, P, Kf, Kp):
     if not isinstance(ms, (int, float)):
         return {}
     sol_ms = by / (_HBM_GBPS * 1e9) * 1e3
-    return {"cg_bytes_moved_mb": round(by / 1e6, 2),
-            "cg_hbm_sol_ms": round(sol_ms, 4),
-            "cg_x_over_hbm_sol": round(ms / sol_ms, 1)}
+    out = {"cg_bytes_moved_mb": round(by / 1e6, 2),
+           "cg_hbm_sol_ms": round(sol_ms, 4),
+           "cg_x_over_hbm_sol": round(ms / sol_ms, 1)}
+    # banded path (ba/banded.py): one read each of the Awt and the
+    # M-folded At2 tables + the dense-leftover block twice + vectors
+    bms = corridor.get("banded_cg_iter_ms")
+    J, Ks = corridor.get("banded_J"), corridor.get("banded_Ks")
+    if isinstance(bms, (int, float)) and J:
+        L = corridor.get("banded_L", 0)
+        bby = (2 * F * J * Ks * 18 * 4          # Awt + At2
+               + 2 * F * 6 * 3 * 4              # V pack + q
+               + 2 * P * 3 * 4 + F * 36 * 4)    # CG vectors + Gram
+        bby += 2 * F * L * 18 * 4               # dense leftover Wd + Dd
+        bsol = bby / (_HBM_GBPS * 1e9) * 1e3
+        out.update({"banded_cg_bytes_moved_mb": round(bby / 1e6, 2),
+                    "banded_cg_hbm_sol_ms": round(bsol, 4),
+                    "banded_cg_x_over_hbm_sol": round(bms / bsol, 1)})
+    return out
 
 
 def bench_corridor_cg(F=2048, ppf=24, repeats=3):
@@ -338,15 +353,24 @@ def bench_corridor_cg(F=2048, ppf=24, repeats=3):
     layout = build_packed_layout(prob.obs_pose, prob.obs_point,
                                  prob.obs_valid, prob.n_poses,
                                  prob.n_points)
+    from mqslam_tpu.ba.banded import build_banded_layout
+    blayout = build_banded_layout(prob.obs_pose, prob.obs_point,
+                                  prob.obs_valid, prob.n_poses,
+                                  prob.n_points)
     lin = jax.jit(bs.linearize)(prob, prob.init)
     jax.block_until_ready(lin.cost)
     lam = jnp.float32(1e-3)
     pJ = bs._pack_jacobians_jit(lin, layout)
     jax.block_until_ready(pJ[0])
+    bJ = bs.pack_for_layout(lin, blayout)
+    jax.block_until_ready(bJ[0])
 
     out = {"F": F, "O": O, "P": prob.n_points,
-           "Kf": layout.Kf, "Kp": layout.Kp}
-    for name, lay, pj in (("packed", layout, pJ), ("coo", None, None)):
+           "Kf": layout.Kf, "Kp": layout.Kp,
+           "banded_J": blayout.J, "banded_Ks": blayout.Ks,
+           "banded_left": blayout.n_left, "banded_L": blayout.L}
+    for name, lay, pj in (("banded", blayout, bJ),
+                          ("packed", layout, pJ), ("coo", None, None)):
         ts = {}
         for budget in (25, 100):
             fn = lambda l: bs.solve_delta(prob, lin, l, cg_iters=budget,

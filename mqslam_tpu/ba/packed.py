@@ -15,6 +15,14 @@ Measured on a v5e core (scan-slope, 2026-08; corridor scenario,
           solver.pack_jacobians) -> **1.27 ms** (pack-row W^T gather,
           ChunkedGather below) = 785 CG iterations/s
 
+SUPERSEDED as the single-device default by the run-major BANDED grid
+(ba/banded.py): exploiting that observation runs are consecutive poses
+turns both W legs into dense shifted einsums with ZERO gathers —
+measured 0.146 ms/CG-iter at F=2048/O=370k (6855 iters/s, 8.5x this
+module's floor, at its HBM bound).  This packed layout remains the
+fallback for observation structures the grid refuses and the basis of
+the SHARDED path (ShardedPackedLayout below).
+
 Round-5 measured byte/time accounting of the 1.27 ms iteration at
 F=2048/O=370k (prof_ba7/ba11 slope; v5e HBM ~819 GB/s):
 

@@ -65,9 +65,17 @@ def _auto_layout(problem: "BAProblem"):
 
     Returns None — COO applies — when the problem's observation masks are
     traced (incremental BA runs under jit) or when the padded tables would
-    blow past the build's ratio guard."""
+    blow past the build's ratio guard.  The gather-free banded grid
+    (ba/banded.py) is preferred when it builds; the dual packed layout is
+    the fallback for observation structures the grid can't host."""
     from mqslam_tpu.ba.packed import build_packed_layout
+    from mqslam_tpu.ba.banded import build_banded_layout
     try:
+        bl = build_banded_layout(problem.obs_pose, problem.obs_point,
+                                 problem.obs_valid, problem.n_poses,
+                                 problem.n_points)
+        if bl is not None:
+            return bl
         return build_packed_layout(problem.obs_pose, problem.obs_point,
                                    problem.obs_valid, problem.n_poses,
                                    problem.n_points)
@@ -321,6 +329,19 @@ def pack_jacobians(lin: Linearization, layout):
 _pack_jacobians_jit = jax.jit(pack_jacobians)
 
 
+def _pack_dispatch(lin: Linearization, layout):
+    """Trace-context pack for whichever CG layout is in play: banded grid
+    tables (ba/banded.py) or the dual packed layout."""
+    from mqslam_tpu.ba.banded import BandedLayout, pack_banded
+    if isinstance(layout, BandedLayout):
+        return pack_banded(lin, layout)
+    return pack_jacobians(lin, layout)
+
+
+# module-level jit: one compilation per (layout structure)
+pack_for_layout = jax.jit(_pack_dispatch, static_argnames=())
+
+
 def _packed_ops(problem: BAProblem, lin: Linearization, layout,
                 packedJ=None):
     """Dense closure applies for the CG hot loop over the packed layout
@@ -484,7 +505,24 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     def hpp_solve(t):
         return linalg.solve3x3_sym(Hpp_d, t) * point_mask
 
-    if layout is not None:
+    # damped per-landmark inverse: used by the block-Jacobi preconditioner
+    # in every path and by the banded hooks' grid copy
+    Hpp_inv = linalg.inv3x3(Hpp_d) * point_mask[..., None]  # [P, 3, 3]
+
+    from mqslam_tpu.ba.banded import BandedLayout, banded_hooks
+    is_banded = isinstance(layout, BandedLayout)
+    if is_banded:
+        assert axis_name is None, "banded layout is single-device"
+        hooks = banded_hooks(problem, lin, layout, packedJ, Hpp_inv)
+
+        def B_apply(vv):
+            vv = vv * pose_mask
+            hv = (hooks.hcc(vv) + _hcc_rest(problem, lin, vv)
+                  + (lam * jnp.maximum(lin.diag_pose, 1e-12)) * vv)
+            return (hv - hooks.corr(vv)) * pose_mask
+
+        b = -lin.g_pose + hooks.w_full(hpp_solve(lin.g_point))
+    elif layout is not None:
         _ops = _packed_ops_rows if has_rows else _packed_ops
         _hcc_obs, _wt_v, _w_ap, _pre_obs = _ops(
             problem, lin, layout, packedJ)
@@ -521,8 +559,9 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     # frame) enforced by ba.validate.validate_data_integrity; with
     # duplicates the preconditioner degrades but CG itself stays correct.
     eye6 = jnp.eye(6, dtype=jnp.float32)
-    Hpp_inv = linalg.inv3x3(Hpp_d) * point_mask[..., None]  # [P, 3, 3]
-    if layout is not None:
+    if is_banded:
+        blk = hooks.pre()
+    elif layout is not None:
         blk = psum_(_pre_obs(Hpp_inv))
     else:
         # per-observation W block A = Jp^T Jpt [O, 6, 3] and its Schur
@@ -575,7 +614,9 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     delta_pose = x * pose_mask
 
     # back-substitute landmarks: dp = -Hpp^-1 (g_p + W^T dc)
-    if layout is not None:
+    if is_banded:
+        wt_dc = hooks.wt_full(delta_pose)
+    elif layout is not None:
         wt_dc = psum_(_wt_v(delta_pose))
     else:
         wt_dc = _w_t_apply(problem, lin, delta_pose, axis_name)
@@ -724,7 +765,7 @@ def lm_solve(problem: BAProblem, v0: BAVariables = None, max_iters: int = 60,
     history = [cost]
     for it in range(max_iters):
         lin = linearize(problem, v)
-        pJ = (_pack_jacobians_jit(lin, layout)
+        pJ = (pack_for_layout(lin, layout)
               if layout is not None and method != "dense" else None)
         improved = False
         for _ in range(6):  # lambda escalation attempts
@@ -783,7 +824,7 @@ def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
         it, v, lam, cost, _, hist = st
         lin = linearize(problem, v, axis_name=axis_name)
         # pack once per linearization; the attempt loop reuses it
-        pJ = (pack_jacobians(lin, layout)
+        pJ = (_pack_dispatch(lin, layout)
               if layout is not None and method != "dense" else None)
 
         def attempt_body(st2):
