@@ -624,7 +624,8 @@ def _lk_tiled_levels(Js, Is, p_ls, pts, status, shapes, win, iters, eps,
             jnp.stack([cxJ // 128, cyJ, cxJ % 128], axis=1),
             jnp.stack([cxI // 128, cyI, cxI % 128], axis=1),
             jnp.stack([aJy, aJx], axis=1), jnp.stack([a0y, a0x], axis=1),
-            status, A, win, iters, eps, hiX, interpret=interpret)
+            status, A, win, iters, eps, hiX, interpret=interpret,
+            want_err=(lvl == 0))
         status = status & (eig >= min_eig_threshold)
         q = jnp.stack([(cxI + r).astype(dt) + a_fin[:, 1],
                        (cyI + r).astype(dt) + a_fin[:, 0]], axis=1)

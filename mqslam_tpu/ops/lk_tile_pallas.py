@@ -65,8 +65,8 @@ def tile_vmem_bytes(H: int, W: int, n_tiles: int) -> int:
 
 
 def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
-            a_out, eig_ref, err_ref, pJc, pIc, *, TB, win, iters, eps,
-            hiX):
+            a_out, eig_ref, err_ref, pIc, *, TB, win, iters, eps,
+            hiX, want_err):
     mask = (jax.lax.broadcasted_iota(jnp.int32, (win, 128), 1)
             < win).astype(jnp.float32)
     W2 = win + 2
@@ -80,11 +80,15 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
         return pltpu.roll(jnp.concatenate([a, b], axis=1), -rx, 1)[:, :128]
 
     for u in range(TB):
-        pJc[u] = compact(tileJ_ref, cj_ref, u, TMPL_ROWS_T)
         pIc[u] = compact(tileI_ref, ci_ref, u, SEARCH_ROWS_T)
 
-    # template windows + gradients from ONE lerped slab per track
-    # (same structure as the gen-4 kernel; see its header comment)
+    # template windows + gradients from ONE lerped slab per track, built
+    # STRAIGHT from the resident tile (gen-6): the per-track compaction
+    # roll and the sampling roll fuse into one [W2, 256] roll, and the
+    # +-1-lane gradient taps come from rolling the lerped row C itself
+    # (roll is an exact lane permutation, so roll(C, -1) ==
+    # (1-fx)*s1 + fx*s2 identically) — ~5 fewer vector ops per track
+    # than the gen-5 compact+slab path, and no template scratch buffer.
     Jws, dxs, dys, g00s, g01s, g11s, dets = [], [], [], [], [], [], []
     for u in range(TB):
         ayJ = aJ_ref[u, 0]
@@ -93,15 +97,20 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
         fyJ = ayJ - iyJ.astype(jnp.float32)
         ixJ = jnp.floor(axJ).astype(jnp.int32)
         fxJ = axJ - ixJ.astype(jnp.float32)
-        slabA = pJc[u, pl.ds(iyJ - 1, W2), :]
-        slabB = pJc[u, pl.ds(iyJ, W2), :]
-        slab = (1.0 - fyJ) * slabA + fyJ * slabB
-        s0 = pltpu.roll(slab, -ixJ, 1)
+        j = cj_ref[u, 0]
+        row0 = cj_ref[u, 1] + iyJ - 1
+        a = tileJ_ref[j, pl.ds(row0, W2 + 1), :]
+        b = tileJ_ref[j + 1, pl.ds(row0, W2 + 1), :]
+        R = jnp.concatenate([a, b], axis=1)        # [W2+1, 256]
+        slab = (1.0 - fyJ) * R[:W2] + fyJ * R[1:W2 + 1]
+        # align to the column LEFT of the window (sm1) first: the left
+        # gradient tap must read the real pixel at window-column -1, and
+        # ixJ >= 1 guarantees it exists in the slab
+        sm1 = pltpu.roll(slab, -(cj_ref[u, 2] + ixJ - 1), 1)[:, :128]
+        s0 = pltpu.roll(sm1, 127, 1)
         s1 = pltpu.roll(s0, 127, 1)
-        s2 = pltpu.roll(s1, 127, 1)
-        sm1 = pltpu.roll(s0, 1, 1)
         C = (1.0 - fxJ) * s0 + fxJ * s1
-        Cp = (1.0 - fxJ) * s1 + fxJ * s2
+        Cp = pltpu.roll(C, 127, 1)
         Cm = (1.0 - fxJ) * sm1 + fxJ * s0
         Jw = pltpu.roll(C, W2 - 1, 0)[:win] * mask
         dx = pltpu.roll(0.5 * (Cp - Cm), W2 - 1, 0)[:win] * mask
@@ -168,15 +177,23 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
     for u in range(TB):
         a_out[u, 0] = ays[u]
         a_out[u, 1] = axs[u]
-        Iw = samp(u, ays[u], axs[u])
-        err_ref[u, 0] = jnp.sum(jnp.abs(Jws[u] - Iw)) / (win * win)
+        if want_err:
+            Iw = samp(u, ays[u], axs[u])
+            err_ref[u, 0] = jnp.sum(jnp.abs(Jws[u] - Iw)) / (win * win)
+        else:
+            # err is consumed only at pyramid level 0 — skip the final
+            # resample + reduction on the coarse levels (~7 vector ops
+            # per track)
+            err_ref[u, 0] = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("A", "win", "iters", "eps",
-                                             "hiX", "TB", "interpret"))
+                                             "hiX", "TB", "interpret",
+                                             "want_err"))
 def lk_level_tiled(tileJ, tileI, cj, ci, aJ, a0, valid, A: int,
                    win: int, iters: int, eps: float, hiX: float,
-                   TB: int = 8, interpret: bool = False):
+                   TB: int = 8, interpret: bool = False,
+                   want_err: bool = True):
     """One pyramid level of tiled LK for T = A*K tracks (agent-contiguous:
     track t belongs to agent t // K).
 
@@ -200,7 +217,7 @@ def lk_level_tiled(tileJ, tileI, cj, ci, aJ, a0, valid, A: int,
         cj, ci, aJ, a0, valid = (x[idx] for x in (cj, ci, aJ, a0, valid))
         K = Kp
     kernel = functools.partial(_kernel, TB=TB, win=win, iters=iters,
-                               eps=eps, hiX=hiX)
+                               eps=eps, hiX=hiX, want_err=want_err)
     C = tileJ.shape[0]
     NB = K // TB
     # grid (agent, track-block): the tile block index depends only on the
@@ -235,7 +252,6 @@ def lk_level_tiled(tileJ, tileI, cj, ci, aJ, a0, valid, A: int,
             jax.ShapeDtypeStruct((A * K, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TB, TMPL_ROWS_T, 128), jnp.float32),
             pltpu.VMEM((TB, SEARCH_ROWS_T, 128), jnp.float32),
         ],
         interpret=interpret,
