@@ -131,7 +131,10 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
         g11s.append(g11)
         dets.append(jnp.where(jnp.abs(det) > 1e-20, det, 1e-20))
 
-    def samp(u, ay, ax):
+    def samp(u, ay, ax, masked=False):
+        # the Newton-loop consumers (b0/b1 against the masked dx/dy)
+        # zero the out-of-window lanes themselves, so the mask multiply
+        # is only needed for the final |Jw - Iw| error resample
         iy = jnp.floor(ay).astype(jnp.int32)
         fy = ay - iy.astype(jnp.float32)
         ix = jnp.floor(ax).astype(jnp.int32)
@@ -141,7 +144,8 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
         rows = (1.0 - fy) * rows0 + fy * rows1
         r0 = pltpu.roll(rows, -ix, 1)
         r1 = pltpu.roll(r0, 127, 1)
-        return ((1.0 - fx) * r0 + fx * r1) * mask
+        out = (1.0 - fx) * r0 + fx * r1
+        return out * mask if masked else out
 
     def cond(carry):
         it = carry[0]
@@ -178,7 +182,7 @@ def _kernel(cj_ref, ci_ref, aJ_ref, a0_ref, valid_ref, tileJ_ref, tileI_ref,
         a_out[u, 0] = ays[u]
         a_out[u, 1] = axs[u]
         if want_err:
-            Iw = samp(u, ays[u], axs[u])
+            Iw = samp(u, ays[u], axs[u], masked=True)
             err_ref[u, 0] = jnp.sum(jnp.abs(Jws[u] - Iw)) / (win * win)
         else:
             # err is consumed only at pyramid level 0 — skip the final
