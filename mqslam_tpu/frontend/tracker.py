@@ -276,8 +276,16 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         P_keyfr = se3.from_rvec_tvec(state.rvec_keyfr, state.tvec_keyfr)
         P_cur = se3.from_rvec_tvec(t.rvec_f, t.tvec_f)
         nontri = t.keep & ~state.triangulated
-        x_new, st_tri = tri.iterative_ls(t.base_n, P_keyfr, t.new_n, P_cur)
-        ok1 = nontri & (st_tri == 1)
+        # optimal (Lindstrom epipolar correction + DLT) instead of the
+        # reference's iterative-LS (slam2 via triangulation.py:148): same
+        # accuracy class, but 8.4 vs 1.2 Mpts/s on TPU (bench rows) — the
+        # two keyframe-phase triangulations were ~8 ms of the A=16
+        # frame-group (prof_multi).  optimal's bool status has no
+        # chirality term, so check both depths explicitly here.
+        x_new, st_tri = tri.optimal(t.base_n, P_keyfr, t.new_n, P_cur)
+        d_kf = jnp.sum(P_keyfr[2, :3][None] * x_new, axis=-1) + P_keyfr[2, 3]
+        d_cu = jnp.sum(P_cur[2, :3][None] * x_new, axis=-1) + P_cur[2, 3]
+        ok1 = nontri & st_tri & (d_kf > 0) & (d_cu > 0)
 
         # refine pose on inlier-triangulated + freshly triangulated pts
         objp_all = jnp.where(ok1[:, None], x_new, t.track_objp)
@@ -285,11 +293,11 @@ def make_step(cal: cam_mod.Cal3DS2, config: TrackerConfig):
         rvec_kf, tvec_kf = pnp.pnp_refine(objp_all, t.new_uv, cal,
                                           t.rvec_f, t.tvec_f,
                                           valid=use_pts, iters=20)
-        # re-triangulate with refined pose; keep points in front of cams
+        # re-triangulate with refined pose; the reprojection gate below
+        # enforces chirality (z > 0 in both views) for this pass
         P_cur2 = se3.from_rvec_tvec(rvec_kf, tvec_kf)
-        x_new2, st_tri2 = tri.iterative_ls(t.base_n, P_keyfr, t.new_n,
-                                           P_cur2)
-        ok2 = ok1 & (st_tri2 >= 0)
+        x_new2, st_tri2 = tri.optimal(t.base_n, P_keyfr, t.new_n, P_cur2)
+        ok2 = ok1 & st_tri2
 
         # quality gate on the NEW landmarks: both-view reprojection must
         # close to within max_new_landmark_reproj px.  Short-baseline
