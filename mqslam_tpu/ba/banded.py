@@ -402,3 +402,319 @@ def banded_hooks(problem, lin, bl: BandedLayout, packedB, Hpp_inv):
 
     return _Hooks(hcc=hcc, corr=corr, w_full=w_full, wt_full=wt_full,
                   pre=pre)
+
+
+# ---------------------------------------------------------------------------
+# Sharded banded grid: the same gather-free hot loop, pose-blocks per device
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class ShardedBandedLayout:
+    """Per-device banded grid blocks, stacked on a leading shard axis.
+
+    The grid shards by BASE POSE block: device d owns base rows
+    [d*Fb, (d+1)*Fb) and, with it, every observation of every landmark
+    based there (the observation arrays must be permuted accordingly —
+    ``permute_obs`` below — so each device's obs slice is exactly its
+    grid block's observations plus its pose-block's leftover obs).  The
+    CG legs then run on purely LOCAL tables; v is replicated, the w-leg
+    rows [d*Fb, d*Fb + Fb + Ks) assemble by ONE psum per matvec, and the
+    leftover partition's [3L] / [F, 6] pieces ride the same collectives.
+    """
+
+    def __init__(self, slot_obs, slot_point, point_slot, op_ids_banded,
+                 op_ids_left, left_pids, left_obs_row, left_obs_col,
+                 gstart, F, P, Fb, J, Ks, L, O_per, n_banded, n_left):
+        self.slot_obs = slot_obs          # [D, Fb, J, Ks] LOCAL obs ids
+        self.slot_point = slot_point      # [D, Fb, J] global pid
+        self.point_slot = point_slot      # [D, P] local b*J+j or Fb*J
+        self.op_ids_banded = op_ids_banded  # [D, O_per] global pose / F
+        self.op_ids_left = op_ids_left      # [D, O_per] global pose / F
+        self.left_pids = left_pids        # [L] global pid (replicated)
+        self.left_obs_row = left_obs_row  # [D, O_per] local pose row / Fb
+        self.left_obs_col = left_obs_col  # [D, O_per] leftover col / L
+        self.gstart = gstart              # [D] int32 global base offset
+        self.F = F
+        self.P = P
+        self.Fb = Fb
+        self.J = J
+        self.Ks = Ks
+        self.L = L
+        self.O_per = O_per
+        self.n_banded = n_banded
+        self.n_left = n_left
+
+    def tree_flatten(self):
+        return ((self.slot_obs, self.slot_point, self.point_slot,
+                 self.op_ids_banded, self.op_ids_left, self.left_pids,
+                 self.left_obs_row, self.left_obs_col, self.gstart),
+                (self.F, self.P, self.Fb, self.J, self.Ks, self.L,
+                 self.O_per, self.n_banded, self.n_left))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_sharded_banded_layout(obs_pose, obs_point, obs_valid,
+                                n_poses: int, n_points: int, n_shards: int):
+    """Host-side build of the per-device grid blocks + the observation
+    permutation that realizes them.
+
+    Returns (layout, perm, valid) — ``perm`` [D * O_per] gathers the
+    ORIGINAL observation arrays into the device-major order the layout
+    indexes and ``valid`` [D * O_per] marks the real (non-pad) slots;
+    apply with ``permute_obs`` — or None when the single-device builder
+    refuses the grid or F doesn't split evenly."""
+    F, P, D = int(n_poses), int(n_points), int(n_shards)
+    if F % D:
+        return None
+    bl = build_banded_layout(obs_pose, obs_point, obs_valid, F, P)
+    if bl is None:
+        return None
+    Fb = F // D
+    J, Ks, L = bl.J, bl.Ks, bl.L
+    op = np.asarray(obs_pose, dtype=np.int64)
+    ov = np.asarray(obs_valid, dtype=bool)
+    O = op.shape[0]
+    slot_obs_g = np.asarray(bl.slot_obs).astype(np.int64)   # [F, J, Ks]
+    opb = np.asarray(bl.op_ids_banded, dtype=np.int64)      # sentinel F
+    opl = np.asarray(bl.op_ids_left, dtype=np.int64)
+    lrow = np.asarray(bl.left_obs_f, dtype=np.int64)
+    lcol = np.asarray(bl.left_obs_col, dtype=np.int64)
+
+    # device of each obs: banded -> its grid row's base block; leftover ->
+    # its pose's block; invalid -> parked on device 0 as padding
+    base_of_obs = np.full(O, -1, np.int64)
+    so = slot_obs_g.reshape(-1)
+    valid_slots = so < O
+    base_idx = np.repeat(np.arange(F), J * Ks)
+    base_of_obs[so[valid_slots]] = base_idx[valid_slots]
+    is_left = lcol < L
+    base_of_obs[is_left] = lrow[is_left]
+    dev = np.where(base_of_obs >= 0, base_of_obs // Fb, 0)
+    dev = np.where(ov, dev, 0)
+
+    counts = np.bincount(dev[ov], minlength=D)
+    O_per = int(counts.max()) if counts.size else 1
+    O_per = max(O_per, 1)
+    perm = np.zeros(D * O_per, np.int64)
+    local_of = np.full(O, O_per, np.int64)   # local id per original obs
+    for d in range(D):
+        ids = np.flatnonzero(ov & (dev == d))
+        perm[d * O_per:d * O_per + len(ids)] = ids
+        perm[d * O_per + len(ids):(d + 1) * O_per] = ids[0] if len(ids) \
+            else 0
+        local_of[ids] = np.arange(len(ids))
+
+    # per-device tables with LOCAL obs ids
+    remap_slot = np.full(O + 1, O_per, np.int64)
+    remap_slot[:O] = local_of
+    slot_obs_l = remap_slot[slot_obs_g].reshape(D, Fb, J, Ks)
+    slot_point_l = np.asarray(bl.slot_point).reshape(D, Fb, J)
+
+    point_slot_l = np.full((D, P), Fb * J, np.int64)
+    ps_g = np.asarray(bl.point_slot, dtype=np.int64)        # b*J + j / F*J
+    pb = np.flatnonzero(ps_g < F * J)
+    d_of_p = (ps_g[pb] // J) // Fb
+    point_slot_l[d_of_p, pb] = ps_g[pb] - d_of_p * Fb * J
+
+    def _gather_obs_field(src, sentinel):
+        out = np.full((D, O_per), sentinel, np.int64)
+        flat = src[perm].reshape(D, O_per)
+        # padding slots repeat a real obs: force their sentinel
+        for d in range(D):
+            n = counts[d] if d < len(counts) else 0
+            out[d, :n] = flat[d, :n]
+        return out
+
+    opb_l = _gather_obs_field(opb, F)
+    opl_l = _gather_obs_field(opl, F)
+    lrow_l = _gather_obs_field(np.where(is_left, lrow, 0), 0)
+    # leftover row becomes LOCAL (pose - gstart); non-left -> sentinel Fb
+    gstart = (np.arange(D) * Fb)[:, None]
+    lcol_l = _gather_obs_field(lcol, L)
+    lrow_l = np.where(lcol_l < L, lrow_l - gstart, Fb)
+
+    i32 = lambda a: jnp.asarray(a, jnp.int32)
+    layout = ShardedBandedLayout(
+        slot_obs=i32(slot_obs_l), slot_point=i32(slot_point_l),
+        point_slot=i32(point_slot_l), op_ids_banded=i32(opb_l),
+        op_ids_left=i32(opl_l),
+        left_pids=jnp.tile(bl.left_pids[None], (D, 1)),  # uniform squeeze
+        left_obs_row=i32(lrow_l), left_obs_col=i32(lcol_l),
+        gstart=i32(np.arange(D) * Fb),
+        F=F, P=P, Fb=Fb, J=J, Ks=Ks, L=L, O_per=O_per,
+        n_banded=bl.n_banded, n_left=bl.n_left)
+    valid = (np.arange(D * O_per) % O_per
+             < counts[(np.arange(D * O_per) // O_per)])
+    return layout, jnp.asarray(perm, jnp.int32), jnp.asarray(valid)
+
+
+def permute_obs(problem, perm, valid):
+    """Apply the builder's observation permutation to a BAProblem: the
+    returned problem's obs arrays are device-major blocks of O_per rows
+    each (pad slots repeat a real obs with validity OFF)."""
+    def g(a):
+        return a[perm]
+
+    return problem._replace(
+        obs_uv=g(problem.obs_uv), obs_pose=g(problem.obs_pose),
+        obs_cam=g(problem.obs_cam), obs_point=g(problem.obs_point),
+        obs_sigma=g(problem.obs_sigma),
+        obs_valid=g(problem.obs_valid) & valid)
+
+
+def pack_banded_sharded(lin, sbl: ShardedBandedLayout, axis: str):
+    """Per-linearization tables for ONE device's grid block (call inside
+    shard_map with the squeezed layout and this device's obs slice of the
+    linearization).  The per-pose Grams are [F, 6, 6] and psum to
+    replicated; everything else stays local."""
+    from mqslam_tpu.ba.solver import _JTJ
+
+    Fb, J, Ks, L, F = sbl.Fb, sbl.J, sbl.Ks, sbl.L, sbl.F
+    Jp, Jt = lin.J_obs_pose, lin.J_obs_point        # [O_per, 2, 6/3]
+    A_o = jnp.sum(Jp[:, :, :, None] * Jt[:, :, None, :], axis=1)
+    A_flat = jnp.concatenate(
+        [A_o.reshape(-1, 18), jnp.zeros((1, 18), A_o.dtype)])
+    G1 = A_flat[sbl.slot_obs].reshape(Fb, J, Ks, 6, 3)
+    Awt = G1.transpose(0, 4, 1, 2, 3).reshape(Fb, 3 * J, Ks * 6)
+    Aw2 = Awt.transpose(0, 2, 1)
+
+    G_banded = jax.lax.psum(
+        jax.ops.segment_sum(_JTJ(Jp), sbl.op_ids_banded, num_segments=F),
+        axis)
+    G_left = jax.lax.psum(
+        jax.ops.segment_sum(_JTJ(Jp), sbl.op_ids_left, num_segments=F),
+        axis)
+    if L:
+        Zl = jnp.zeros((Fb + 1, L + 1, 6, 3), A_o.dtype)
+        Zl = Zl.at[sbl.left_obs_row, sbl.left_obs_col].add(A_o)
+        Wd = Zl[:Fb, :L].transpose(0, 2, 3, 1).reshape(Fb * 6, 3 * L)
+    else:
+        Wd = jnp.zeros((Fb * 6, 0), A_o.dtype)
+    return Awt, Aw2, G_banded, G_left, Wd
+
+
+def banded_hooks_sharded(problem, lin, sbl: ShardedBandedLayout, packedB,
+                         Hpp_inv, axis: str):
+    """shard_map closures for the sharded banded Schur-CG: identical math
+    to ``banded_hooks`` with the grid split into pose-blocks; every
+    [F, 6]-shaped result carries its own psum, so the caller composes
+    them without further collectives."""
+    Awt, Aw2, G_banded, G_left, Wd = (
+        packedB if packedB is not None
+        else pack_banded_sharded(lin, sbl, axis))
+    Fb, J, Ks, L, F, P = sbl.Fb, sbl.J, sbl.Ks, sbl.L, sbl.F, sbl.P
+    gs = sbl.gstart                                   # scalar (squeezed)
+
+    M9 = jnp.concatenate(
+        [Hpp_inv.reshape(P, 9),
+         jnp.zeros((1, 9), Hpp_inv.dtype)])[sbl.slot_point]  # [Fb, J, 9]
+    Mt = M9.transpose(2, 0, 1).reshape(3, 3, Fb, J)
+    At2 = jnp.concatenate(
+        [sum(Aw2[:, :, z * J:(z + 1) * J] * Mt[z, y][:, None, :]
+             for z in range(3)) for y in range(3)], axis=2)
+
+    if L:
+        M_lc = Hpp_inv[sbl.left_pids]
+        Dd = jnp.concatenate(
+            [sum(Wd[:, z * L:(z + 1) * L] * M_lc[None, :, z, y]
+                 for z in range(3)) for y in range(3)], axis=1)
+
+    def _vblk(v):                      # replicated [F, 6] -> [Fb+Ks, 6]
+        vp = jnp.concatenate([v, jnp.zeros((Ks, 6), v.dtype)])
+        return jax.lax.dynamic_slice_in_dim(vp, gs, Fb + Ks)
+
+    def wt72(v):                       # -> r [Fb, 3J]
+        vb = _vblk(v)
+        V = jnp.concatenate(
+            [jax.lax.dynamic_slice_in_dim(vb, k, Fb) for k in range(Ks)],
+            axis=1)
+        return jnp.sum(Awt * V[:, None, :], axis=2)
+
+    def _assemble(q, c_left):          # q [Fb, Ks*6] -> psum'd [F, 6]
+        qk = q.reshape(Fb, Ks, 6)
+        buf = jnp.zeros((F + Ks, 6), q.dtype)
+        for k in range(Ks):
+            blk = jax.lax.dynamic_slice_in_dim(buf, gs + k, Fb) + qk[:, k]
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, blk, gs + k,
+                                                      axis=0)
+        if c_left is not None:
+            blk = jax.lax.dynamic_slice_in_dim(buf, gs, Fb) + c_left
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, blk, gs,
+                                                      axis=0)
+        return jax.lax.psum(buf[:F], axis)
+
+    def _u_left(v):                    # psum'd [3L] leftover state
+        vb = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([v, jnp.zeros((Ks, 6), v.dtype)]), gs, Fb)
+        return jax.lax.psum(jax.lax.dot_general(
+            vb.reshape(1, Fb * 6), Wd, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)[0], axis)
+
+    def hcc(v):
+        return jnp.sum((G_banded + G_left) * v[:, None, :], axis=-1)
+
+    def corr(v):
+        q = jnp.sum(At2 * wt72(v)[:, None, :], axis=2)   # [Fb, Ks*6]
+        c_left = None
+        if L:
+            c_left = jax.lax.dot_general(
+                Dd, _u_left(v).reshape(3 * L, 1), (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST).reshape(Fb, 6)
+        return _assemble(q, c_left)
+
+    def w_full(t):                     # replicated t [P, 3] -> [F, 6]
+        tb = jnp.concatenate(
+            [t, jnp.zeros((1, 3), t.dtype)])[sbl.slot_point]
+        t72 = tb.transpose(0, 2, 1).reshape(Fb, 3 * J)
+        q = jnp.sum(Aw2 * t72[:, None, :], axis=2)
+        c_left = None
+        if L:
+            c_left = jax.lax.dot_general(
+                Wd, t[sbl.left_pids].T.reshape(3 * L, 1),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST).reshape(Fb, 6)
+        return _assemble(q, c_left)
+
+    def wt_full(v):                    # -> psum'd [P, 3]
+        r = wt72(v).reshape(Fb, 3, J).transpose(0, 2, 1)
+        r = jnp.concatenate(
+            [r.reshape(Fb * J, 3), jnp.zeros((1, 3), v.dtype)])
+        out = r[sbl.point_slot]        # partial: this block's landmarks
+        if L:
+            # u_left is already psum'd (identical on every device): add
+            # it on block 0 only so the outer psum counts it once
+            u3 = _u_left(v).reshape(3, L).T
+            out = out + jnp.where(gs == 0, 1.0, 0.0) \
+                * jnp.zeros((P, 3), v.dtype).at[sbl.left_pids].add(u3)
+        return jax.lax.psum(out, axis)
+
+    def pre():
+        full = jax.lax.dot_general(
+            At2.reshape(Fb, Ks * 6, 3 * J), Aw2.reshape(Fb, Ks * 6, 3 * J),
+            (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        kk = full.reshape(Fb, Ks, 6, Ks, 6)
+        buf = jnp.zeros((F + Ks, 6, 6), full.dtype)
+        for k in range(Ks):
+            blk = jax.lax.dynamic_slice_in_dim(buf, gs + k, Fb) \
+                + kk[:, k, :, k, :]
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, blk, gs + k,
+                                                      axis=0)
+        if L:
+            D3 = Dd.reshape(Fb, 6, 3 * L)
+            W3 = Wd.reshape(Fb, 6, 3 * L)
+            aha = jax.lax.dot_general(
+                D3, W3, (((2,), (2,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            blk = jax.lax.dynamic_slice_in_dim(buf, gs, Fb) + aha
+            buf = jax.lax.dynamic_update_slice_in_dim(buf, blk, gs,
+                                                      axis=0)
+        return (G_banded + G_left) - jax.lax.psum(buf[:F], axis)
+
+    return _Hooks(hcc=hcc, corr=corr, w_full=w_full, wt_full=wt_full,
+                  pre=pre)

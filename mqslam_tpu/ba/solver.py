@@ -329,10 +329,15 @@ def pack_jacobians(lin: Linearization, layout):
 _pack_jacobians_jit = jax.jit(pack_jacobians)
 
 
-def _pack_dispatch(lin: Linearization, layout):
+def _pack_dispatch(lin: Linearization, layout, axis_name=None):
     """Trace-context pack for whichever CG layout is in play: banded grid
-    tables (ba/banded.py) or the dual packed layout."""
-    from mqslam_tpu.ba.banded import BandedLayout, pack_banded
+    tables (single-device or sharded, ba/banded.py) or the dual packed
+    layout."""
+    from mqslam_tpu.ba.banded import (BandedLayout, pack_banded,
+                                      ShardedBandedLayout,
+                                      pack_banded_sharded)
+    if isinstance(layout, ShardedBandedLayout):
+        return pack_banded_sharded(lin, layout, axis_name)
     if isinstance(layout, BandedLayout):
         return pack_banded(lin, layout)
     return pack_jacobians(lin, layout)
@@ -487,10 +492,16 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     # squeezed ShardedPackedLayout shard (row-mapped compact tables) is the
     # packed form for sharded solves — its partial outputs psum over the
     # mesh axis, one collective per matvec leg, same as the COO form.
+    from mqslam_tpu.ba.banded import (BandedLayout, banded_hooks,
+                                      ShardedBandedLayout,
+                                      banded_hooks_sharded)
     has_rows = layout is not None and hasattr(layout, "rows_f")
-    assert layout is None or has_rows or axis_name is None, \
+    is_sbanded = isinstance(layout, ShardedBandedLayout)
+    assert layout is None or has_rows or is_sbanded \
+        or axis_name is None, \
         ("global packed layout is single-device; shard with "
-         "ba.packed.build_sharded_packed_layout for axis_name solves")
+         "ba.packed.build_sharded_packed_layout or "
+         "ba.banded.build_sharded_banded_layout for axis_name solves")
     psum_ = ((lambda x: jax.lax.psum(x, axis_name))
              if axis_name is not None else (lambda x: x))
     pose_mask = lin.pose_free[:, None].astype(jnp.float32)
@@ -509,11 +520,16 @@ def solve_delta(problem: BAProblem, lin: Linearization, lam,
     # in every path and by the banded hooks' grid copy
     Hpp_inv = linalg.inv3x3(Hpp_d) * point_mask[..., None]  # [P, 3, 3]
 
-    from mqslam_tpu.ba.banded import BandedLayout, banded_hooks
-    is_banded = isinstance(layout, BandedLayout)
+    is_banded = isinstance(layout, BandedLayout) or is_sbanded
     if is_banded:
-        assert axis_name is None, "banded layout is single-device"
-        hooks = banded_hooks(problem, lin, layout, packedJ, Hpp_inv)
+        if is_sbanded:
+            assert axis_name is not None, \
+                "sharded banded layout requires a mesh axis"
+            hooks = banded_hooks_sharded(problem, lin, layout, packedJ,
+                                         Hpp_inv, axis_name)
+        else:
+            assert axis_name is None, "banded layout is single-device"
+            hooks = banded_hooks(problem, lin, layout, packedJ, Hpp_inv)
 
         def B_apply(vv):
             vv = vv * pose_mask
@@ -824,7 +840,7 @@ def _lm_device_loop(problem: BAProblem, v0: BAVariables, max_iters: int,
         it, v, lam, cost, _, hist = st
         lin = linearize(problem, v, axis_name=axis_name)
         # pack once per linearization; the attempt loop reuses it
-        pJ = (_pack_dispatch(lin, layout)
+        pJ = (_pack_dispatch(lin, layout, axis_name)
               if layout is not None and method != "dense" else None)
 
         def attempt_body(st2):

@@ -97,9 +97,34 @@ def build_layout_for_mesh(problem: BAProblem, mesh: Mesh,
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), layout)
 
 
+def build_banded_for_mesh(problem: BAProblem, mesh: Mesh,
+                          axis: str = "data"):
+    """Sharded BANDED grid for the mesh: gather-free pose-block CG legs
+    with one psum per matvec (ba/banded.py).  The grid requires the
+    observation arrays permuted into device-major base-pose blocks, so on
+    success this returns (placed_layout, permuted_padded_problem); None
+    when the grid builder refuses (fall back to the packed layout)."""
+    from mqslam_tpu.ba.banded import (build_sharded_banded_layout,
+                                      permute_obs)
+
+    n = mesh.shape[axis]
+    out = build_sharded_banded_layout(
+        np.asarray(problem.obs_pose), np.asarray(problem.obs_point),
+        np.asarray(problem.obs_valid), problem.n_poses, problem.n_points,
+        n)
+    if out is None:
+        return None
+    layout, perm, valid = out
+    pp = permute_obs(problem, perm, valid)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh),
+                                  layout), pp
+
+
 def make_sharded_lm_iteration(mesh: Mesh, cg_iters: int = 200,
                               cg_tol: float = 1e-10, axis: str = "data",
-                              with_layout: bool = False):
+                              with_layout: bool = False,
+                              layout_example=None):
     """Build the jitted sharded LM iteration
     (problem, vars, lam[, layout]) -> (delta_pose, delta_point, cost).
 
@@ -113,9 +138,13 @@ def make_sharded_lm_iteration(mesh: Mesh, cg_iters: int = 200,
     var_spec = BAVariables(P(), P(), P())
 
     if with_layout:
-        from mqslam_tpu.ba.packed import ShardedPackedLayout
-        layout_specs = ShardedPackedLayout(
-            *([P(axis)] * len(ShardedPackedLayout._fields)))
+        if layout_example is not None:
+            layout_specs = jax.tree_util.tree_map(lambda _: P(axis),
+                                                  layout_example)
+        else:
+            from mqslam_tpu.ba.packed import ShardedPackedLayout
+            layout_specs = ShardedPackedLayout(
+                *([P(axis)] * len(ShardedPackedLayout._fields)))
 
         def _iteration(problem, v, lam, layout):
             layout = jax.tree_util.tree_map(lambda a: a[0], layout)
@@ -177,11 +206,18 @@ def sharded_lm_solve(problem: BAProblem, mesh: Mesh, max_iters: int = 40,
     padded = pad_problem_for_shards(problem, mesh.shape[axis])
     if layout == "auto":
         # build from the replicated pre-placement arrays: a global sharded
-        # array is not host-fetchable in multi-process runs
-        layout = build_layout_for_mesh(padded, mesh, axis)
+        # array is not host-fetchable in multi-process runs.  The banded
+        # grid (gather-free legs) is preferred; it permutes the obs order
+        # into device-major base-pose blocks, so it replaces the problem.
+        out = build_banded_for_mesh(padded, mesh, axis)
+        if out is not None:
+            layout, padded = out
+        else:
+            layout = build_layout_for_mesh(padded, mesh, axis)
     problem = shard_problem_for_mesh(padded, mesh, axis)
     lm_iter = make_sharded_lm_iteration(mesh, cg_iters=cg_iters, axis=axis,
-                                        with_layout=layout is not None)
+                                        with_layout=layout is not None,
+                                        layout_example=layout)
     cost_fn = _sharded_cost(mesh, axis)
 
     def iterate(v, lam):
@@ -230,15 +266,17 @@ def sharded_lm_solve_device(problem: BAProblem, mesh: Mesh,
     """
     padded = pad_problem_for_shards(problem, mesh.shape[axis])
     if layout == "auto":
-        layout = build_layout_for_mesh(padded, mesh, axis)
+        out = build_banded_for_mesh(padded, mesh, axis)
+        if out is not None:
+            layout, padded = out
+        else:
+            layout = build_layout_for_mesh(padded, mesh, axis)
     problem_s = shard_problem_for_mesh(padded, mesh, axis)
     specs = _obs_spec(axis)
     var_spec = BAVariables(P(), P(), P())
 
     if layout is not None:
-        from mqslam_tpu.ba.packed import ShardedPackedLayout
-        layout_specs = ShardedPackedLayout(
-            *([P(axis)] * len(ShardedPackedLayout._fields)))
+        layout_specs = jax.tree_util.tree_map(lambda _: P(axis), layout)
 
         def _solve(problem, v0, lay):
             lay = jax.tree_util.tree_map(lambda a: a[0], lay)

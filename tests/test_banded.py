@@ -121,3 +121,68 @@ def test_short_sequence_layout_fallback():
     _, hist = bs.lm_solve(prob, method="cg", layout="auto", max_iters=6,
                           cg_iters=50)
     assert hist[-1] < hist[0]
+
+
+def test_sharded_banded_matches_single_device():
+    """The pose-block sharded grid (ShardedBandedLayout) must reproduce
+    the single-device banded solve on the virtual 8-device mesh: same
+    delta to f32-CG tolerance, via solve_delta under shard_map."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mqslam_tpu.ba.banded import (build_sharded_banded_layout,
+                                      permute_obs)
+    from mqslam_tpu.parallel import sharded_ba as sba
+
+    prob, _ = bsyn.generate_corridor_problem(nr_frames=256,
+                                             points_per_frame=12)
+    out = build_sharded_banded_layout(prob.obs_pose, prob.obs_point,
+                                      prob.obs_valid, prob.n_poses,
+                                      prob.n_points, 8)
+    assert out is not None
+    sbl, perm, valid = out
+    pp = permute_obs(prob, perm, valid)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    pps = sba.shard_problem_for_mesh(pp, mesh)
+    sh = NamedSharding(mesh, P("data"))
+    sbl_p = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), sbl)
+    specs = sba._obs_spec("data")
+    var_spec = bs.BAVariables(P(), P(), P())
+    lay_spec = jax.tree_util.tree_map(lambda _: P("data"), sbl)
+    lam = jnp.float32(1e-3)
+
+    def _iter(problem, v, layout):
+        layout = jax.tree_util.tree_map(lambda a: a[0], layout)
+        lin = bs.linearize(problem, v, axis_name="data")
+        dc, dp, _ = bs.solve_delta(problem, lin, lam, cg_iters=80,
+                                   cg_tol=0.0, axis_name="data",
+                                   layout=layout)
+        return dc, dp
+
+    f = jax.jit(jax.shard_map(_iter, mesh=mesh,
+                              in_specs=(specs, var_spec, lay_spec),
+                              out_specs=(P(), P()), check_vma=False))
+    dc_s, dp_s = f(pps, pp.init, sbl_p)
+
+    bl = build_banded_layout(pp.obs_pose, pp.obs_point, pp.obs_valid,
+                             pp.n_poses, pp.n_points)
+    lin1 = jax.jit(bs.linearize)(pp, pp.init)
+    dc1, dp1, _ = bs.solve_delta(pp, lin1, lam, cg_iters=80, cg_tol=0.0,
+                                 layout=bl)
+    assert _rel(dc_s, dc1) < 1e-3
+    assert _rel(dp_s, dp1) < 1e-3
+
+
+def test_sharded_lm_solve_auto_uses_banded():
+    """sharded_lm_solve(layout='auto') prefers the banded grid and lands
+    in the same basin as the single-device CG solve."""
+    import jax
+    from jax.sharding import Mesh
+    from mqslam_tpu.parallel import sharded_ba as sba
+
+    prob, _ = bsyn.generate_corridor_problem(nr_frames=128,
+                                             points_per_frame=8)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    v_s, hist_s = sba.sharded_lm_solve(prob, mesh, max_iters=6,
+                                       cg_iters=80)
+    _, hist_1 = bs.lm_solve(prob, method="cg", max_iters=6, cg_iters=80)
+    assert hist_s[-1] < 1.05 * hist_1[-1] + 1e-6
